@@ -1,0 +1,80 @@
+"""TPU-native Bayesian field inference.
+
+A from-scratch framework with the capabilities of NIFTy 8 / NIFTy.re
+(structured GP priors with non-parametric harmonic-domain power spectra,
+MGVI/geoVI variational inference with implicit-metric CG sampling, HMC/NUTS
+cross-checks), designed mesh-native for TPU pod slices: fully traceable
+solvers, sample- and field-axis sharding, psum reductions over ICI.
+"""
+
+from . import config
+from .custom_map import lmap, smap
+from .evi import (
+    Samples,
+    draw_linear_residual,
+    draw_residual,
+    nonlinearly_update_residual,
+)
+from .likelihood import (
+    Likelihood,
+    LikelihoodPartial,
+    LikelihoodSum,
+    LikelihoodWithModel,
+)
+from .likelihood_impl import (
+    Categorical,
+    Gaussian,
+    Poissonian,
+    StudentT,
+    VariableCovarianceGaussian,
+    VariableCovarianceStudentT,
+)
+from .logger import logger
+from .minisanity import minisanity, reduced_residual_stats
+from .model import Initializer, LazyModel, Model, WrappedCall, wrap, wrap_left
+from .models import (
+    CorrelatedFieldMaker,
+    GaussMarkovProcess,
+    IntegratedWienerProcess,
+    OrnsteinUhlenbeckProcess,
+    WienerProcess,
+    matern_amplitude,
+    non_parametric_amplitude,
+)
+from .optimize_kl import OptimizeVI, OptimizeVIState, optimize_kl
+from .prior import (
+    InvGammaPrior,
+    LaplacePrior,
+    LogNormalPrior,
+    NormalPrior,
+    UniformPrior,
+)
+from .solvers import newton_cg, static_cg
+from .solvers.cg import cg
+from .solvers.newton_cg import OptimizeResults, minimize
+from .stats import (
+    interpolator,
+    invgamma_prior,
+    laplace_prior,
+    lognormal_prior,
+    lognormal_moments,
+    normal_prior,
+    uniform_prior,
+)
+from .tree import (
+    ShapeWithDtype,
+    Vector,
+    dot,
+    get_map,
+    mean,
+    mean_and_std,
+    norm,
+    random_like,
+    stack,
+    unite,
+    unstack,
+    vdot,
+    zeros_like,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,321 @@
+"""Sampling engine for MGVI / geoVI (evidence-variational inference).
+
+Linear (MGVI) residual samples solve ``(M_lh + 1) s = n_lh + n_pr`` with a
+device-resident CG against the implicit Fisher metric; geoVI nonlinearly
+"curves" them by minimizing ``0.5 ||m - g(x)||^2`` with the metric as
+Hessian approximation.  Because both the CG and the Newton-CG here are
+fully traceable (:mod:`nifty_tpu.solvers`), the *entire* sample update —
+linear draw and nonlinear curve — can be ``vmap``-ed or ``shard_map``-ed
+over the antithetic sample batch: one XLA program updates all samples in
+lockstep, instead of the reference's host loop over samples
+(``residual_map="lmap"``).
+
+Parity: reference ``src/re/evi.py`` (``sample_likelihood`` ``:78``,
+``draw_linear_residual`` ``:83-144``, ``nonlinearly_update_residual``
+``:147-266``, ``draw_residual`` ``:268``, ``Samples`` ``:314-411``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from operator import getitem
+from typing import Any, Callable, Optional, Tuple, TypeVar, Union
+
+import jax
+from jax import numpy as jnp
+from jax import random
+from jax.tree_util import (
+    Partial,
+    register_pytree_node_class,
+    tree_leaves,
+    tree_map,
+)
+
+from .likelihood import Likelihood
+from .solvers import cg as conjugate_gradient
+from .solvers.newton_cg import OptimizeResults, _newton_cg
+from .tree import random_like, stack, tree_add, tree_sub, vdot
+
+P = TypeVar("P")
+
+
+def _no_jit(x, **kwargs):
+    return x
+
+
+def _parse_jit(jit):
+    if callable(jit):
+        return jit
+    if isinstance(jit, bool):
+        return jax.jit if jit else _no_jit
+    raise TypeError(f"expected `jit` to be callable or boolean; got {jit!r}")
+
+
+def sample_likelihood(likelihood: Likelihood, primals, key):
+    """Draw a data-space white sample and pull it back through the
+    left-square-root of the metric → a sample with covariance ``M_lh``."""
+    white_sample = random_like(key, likelihood.left_sqrt_metric_tangents_shape)
+    return likelihood.left_sqrt_metric(primals, white_sample)
+
+
+def draw_linear_residual(
+    likelihood: Likelihood,
+    pos: P,
+    key,
+    *,
+    from_inverse: bool = True,
+    point_estimates: Union[P, Tuple[str]] = (),
+    cg: Callable = conjugate_gradient.static_cg,
+    cg_name: Optional[str] = None,
+    cg_kwargs: Optional[dict] = None,
+    _raise_nonposdef: bool = False,
+) -> Tuple[P, Any]:
+    """Draw one MGVI residual sample at ``pos``; returns ``(residual, info)``.
+
+    The sample has covariance ``(M_lh + 1)^{-1}`` (the inverse Bayesian
+    Fisher metric of the standardized Hamiltonian) when ``from_inverse``.
+    """
+    if not isinstance(likelihood, Likelihood):
+        raise TypeError(f"`likelihood` of invalid type {type(likelihood)!r}")
+    lh, p_liquid = likelihood.freeze(
+        point_estimates=point_estimates, primals=pos
+    )
+
+    def ham_metric(primals, tangents, **kw):
+        return tree_add(lh.metric(primals, tangents, **kw), tangents)
+
+    cg_kwargs = dict(cg_kwargs or {})
+
+    subkey_nll, subkey_prr = random.split(key, 2)
+    nll_smpl = sample_likelihood(lh, p_liquid, key=subkey_nll)
+    prr_inv_metric_smpl = random_like(key=subkey_prr, primals=p_liquid)
+    # A metric sample becomes an inverse-metric sample by applying the
+    # inverse metric to it (CG solve below).
+    prr_smpl = prr_inv_metric_smpl
+    smpl = tree_add(nll_smpl, prr_smpl)
+    info = jnp.zeros(())
+    if from_inverse:
+        smpl, info = cg(
+            Partial(ham_metric, p_liquid),
+            smpl,
+            x0=prr_inv_metric_smpl,
+            name=cg_name,
+            _raise_nonposdef=_raise_nonposdef,
+            **cg_kwargs,
+        )
+    if point_estimates:
+        smpl = lh.insert_zeros(smpl)
+    return smpl, info
+
+
+def _nonlinear_update_funcs(likelihood, point_estimates, jit=False):
+    """Build the residual functional, metric, and sample norm for geoVI.
+
+    The functional is ``0.5 || m - g(x) ||^2`` with
+    ``g(x) = x - e + lsm_e(T(x) - T(e))`` — its minimizer transports the
+    metric sample ``m`` along the likelihood's geometry.
+    Parity: ``src/re/evi.py:147-199``.
+    """
+
+    def _freeze(e):
+        return likelihood.freeze(point_estimates=point_estimates, primals=e)
+
+    def residual_vg(e, lh_trafo_at_p, ms_at_p, x):
+        lh, e_liquid = _freeze(e)
+        t = tree_sub(lh.transformation(x), lh_trafo_at_p)
+        g = tree_add(tree_sub(x, e_liquid), lh.left_sqrt_metric(e_liquid, t))
+        r = tree_sub(ms_at_p, g)
+        res = 0.5 * vdot(r, r).real
+        ngrad = tree_map(jnp.conj, r)
+        ngrad = tree_add(
+            ngrad, lh.left_sqrt_metric(x, lh.right_sqrt_metric(e_liquid, ngrad))
+        )
+        return res, tree_map(jnp.negative, ngrad)
+
+    def metric(e, primals, tangents):
+        lh, e_liquid = _freeze(e)
+        lsm, rsm = lh.left_sqrt_metric, lh.right_sqrt_metric
+        tm = tree_add(lsm(e_liquid, rsm(primals, tangents)), tangents)
+        return tree_add(lsm(primals, rsm(e_liquid, tm)), tm)
+
+    def sampnorm(e, natgrad):
+        lh, e_liquid = _freeze(e)
+        fpp = lh.right_sqrt_metric(e_liquid, natgrad)
+        return jnp.sqrt(vdot(natgrad, natgrad).real + vdot(fpp, fpp).real)
+
+    jit = _parse_jit(jit)
+    return jit(residual_vg), jit(metric), jit(sampnorm)
+
+
+def nonlinearly_update_residual(
+    likelihood: Likelihood = None,
+    pos: P = None,
+    residual_sample=None,
+    metric_sample_key=None,
+    metric_sample_sign=1.0,
+    *,
+    point_estimates=(),
+    minimize: Callable[..., OptimizeResults] = _newton_cg,
+    minimize_kwargs: Optional[dict] = None,
+    jit: Union[Callable, bool] = False,
+    _raise_notconverged: bool = False,
+) -> Tuple[P, OptimizeResults]:
+    """geoVI nonlinear update of one (residual sample, sign) pair.
+
+    Fully traceable — safe under ``vmap`` over samples.  Parity:
+    ``src/re/evi.py:201-266``.
+    """
+    minimize_kwargs = dict(minimize_kwargs or {})
+    lh, e_liquid = likelihood.freeze(
+        point_estimates=point_estimates, primals=pos
+    )
+
+    sample = tree_add(pos, residual_sample)
+    if point_estimates:
+        sample = lh.remove(sample)
+
+    metric_sample, _ = draw_linear_residual(
+        likelihood,
+        pos,
+        metric_sample_key,
+        point_estimates=point_estimates,
+        from_inverse=False,
+    )
+    if point_estimates:
+        metric_sample = lh.remove(metric_sample)
+    metric_sample = tree_map(lambda x: metric_sample_sign * x, metric_sample)
+
+    residual_vg, metric, sampnorm = _nonlinear_update_funcs(
+        likelihood, point_estimates, jit=jit
+    )
+
+    skip = minimize_kwargs.get("maxiter", None) == 0
+    if not skip:
+        trafo_at_p = lh.transformation(e_liquid)
+        opt_state = minimize(
+            None,
+            x0=sample,
+            fun_and_grad=Partial(residual_vg, pos, trafo_at_p, metric_sample),
+            hessp=Partial(metric, pos),
+            custom_gradnorm=Partial(sampnorm, pos),
+            **minimize_kwargs,
+        )
+    else:
+        opt_state = OptimizeResults(sample, True, 0, None, None)
+    new_sample = tree_sub(opt_state.x, e_liquid)
+    opt_state = opt_state._replace(x=None, jac=None)
+    if point_estimates:
+        new_sample = lh.insert_zeros(new_sample)
+    return new_sample, opt_state
+
+
+def draw_residual(
+    likelihood: Likelihood,
+    pos: P,
+    key,
+    *,
+    point_estimates: Union[P, Tuple[str]] = (),
+    cg: Callable = conjugate_gradient.static_cg,
+    cg_name: Optional[str] = None,
+    cg_kwargs: Optional[dict] = None,
+    minimize: Callable[..., OptimizeResults] = _newton_cg,
+    minimize_kwargs: Optional[dict] = None,
+    _raise_nonposdef: bool = False,
+    _raise_notconverged: bool = False,
+) -> Tuple[P, OptimizeResults]:
+    """Draw an antithetic pair of geoVI samples (linear draw + curve both
+    signs).  Parity: ``src/re/evi.py:268``."""
+    residual_sample, _ = draw_linear_residual(
+        likelihood, pos, key,
+        point_estimates=point_estimates,
+        cg=cg, cg_name=cg_name, cg_kwargs=cg_kwargs,
+        _raise_nonposdef=_raise_nonposdef,
+    )
+    curve = partial(
+        nonlinearly_update_residual,
+        likelihood, pos,
+        metric_sample_key=key,
+        point_estimates=point_estimates,
+        minimize=minimize,
+        minimize_kwargs=minimize_kwargs,
+        _raise_notconverged=_raise_notconverged,
+    )
+    neg = tree_map(jnp.negative, residual_sample)
+    return stack((
+        curve(residual_sample, metric_sample_sign=1.0),
+        curve(neg, metric_sample_sign=-1.0),
+    ))
+
+
+@register_pytree_node_class
+class Samples:
+    """Posterior samples stored as (expansion point, stacked residuals).
+
+    A plain pytree — compatible with vmap/shard_map/jit and shardable over
+    the leading (sample) axis of ``samples``.  Parity:
+    ``src/re/evi.py:314-411``.
+    """
+
+    def __init__(self, *, pos: P = None, samples: P = None, keys=None):
+        self._pos, self._samples, self._keys = pos, samples, keys
+
+    @property
+    def pos(self):
+        return self._pos
+
+    @property
+    def samples(self):
+        smpls = self._samples
+        if smpls is None:
+            raise ValueError("no samples")
+        if self._pos is not None:
+            smpls = tree_map(lambda p, s: p[jnp.newaxis] + s, self._pos, smpls)
+        return smpls
+
+    @property
+    def keys(self):
+        return self._keys
+
+    def __len__(self):
+        if self._samples is None:
+            return 0
+        return jnp.shape(tree_leaves(self._samples)[0])[0]
+
+    def __getitem__(self, index):
+        if self._samples is None:
+            raise ValueError("no samples")
+        get = partial(lambda i, b: getitem(b, i), index)
+        if self._pos is None:
+            return tree_map(get, self._samples)
+        return tree_map(lambda p, s: p + get(s), self._pos, self._samples)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def at(self, pos, old_pos=None):
+        """Move the expansion point; residuals stay fixed (or are
+        re-expressed relative to ``old_pos``)."""
+        if self._pos is not None and old_pos is None:
+            smpls = self._samples
+        elif old_pos is not None:
+            smpls = self.samples
+            smpls = tree_map(lambda p, s: s - p[jnp.newaxis], old_pos, smpls)
+        else:
+            raise ValueError("invalid combination of `pos` and `old_pos`")
+        return Samples(pos=pos, samples=smpls, keys=self._keys)
+
+    def squeeze(self):
+        smpls = tree_map(
+            lambda s: s.reshape((-1,) + s.shape[2:]), self._samples
+        )
+        return Samples(pos=self._pos, samples=smpls, keys=self._keys)
+
+    def tree_flatten(self):
+        return ((self._pos, self._samples, self._keys), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        pos, smpls, keys = children
+        return cls(pos=pos, samples=smpls, keys=keys)

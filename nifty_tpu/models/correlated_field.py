@@ -1,0 +1,416 @@
+"""Correlated field model: structured GP priors with non-parametric power
+spectra in the harmonic domain.
+
+A field ``s`` on a regular grid is modeled as
+
+    s = offset + V * HT( A(p) * azm * xi )
+
+with ``xi`` white in harmonic space, ``A`` an amplitude (square-root power)
+spectrum distributed from power-space bins onto the full grid, ``azm`` a
+global zero-mode scale, and ``HT`` the Hartley transform.  The amplitude is
+either *non-parametric* — power law (slope) plus integrated-Wiener-process
+deviations over log-k bins (flexibility/asperity) — or a *Matérn* kernel.
+
+TPU-first design choices versus the reference
+(``src/re/correlated_field.py``): the Fourier-mode binning is precomputed
+on the host in numpy f64 and baked into the program as static constants;
+power distribution is a single device gather (its adjoint becomes an XLA
+scatter-add/segment-sum under vjp); the Hartley transform takes the rfft
+fast path for real fields; all per-bin quantities stay 1-D so XLA fuses
+the amplitude chain into the FFT's pointwise prologue.
+
+Parity: ``CorrelatedFieldMaker`` (``:311``), ``add_fluctuations``
+(``:343``), ``add_fluctuations_matern`` (``:420``),
+``set_amplitude_total_offset`` (``:548``), ``finalize`` (``:640-704``),
+``non_parametric_amplitude`` (``:219``), ``matern_amplitude`` (``:149``),
+grid metadata (``:84-146``).
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+from functools import partial
+from typing import Callable, Mapping, Optional, Tuple, Union
+
+import numpy as np
+from jax import numpy as jnp
+
+from ..model import Model, WrappedCall, wrap
+from ..ops.harmonic import fourier_mode_distributor, hartley
+from ..stats import lognormal_prior, normal_prior
+from ..tree import ShapeWithDtype, random_like
+from .gauss_markov import IntegratedWienerProcess
+
+RegularCartesianGrid = namedtuple(
+    "RegularCartesianGrid",
+    ("shape", "total_volume", "distances", "harmonic_grid"),
+    defaults=(None,),
+)
+
+RegularFourierGrid = namedtuple(
+    "RegularFourierGrid",
+    (
+        "shape",
+        "power_distributor",
+        "mode_multiplicity",
+        "mode_lengths",
+        "relative_log_mode_lengths",
+        "log_volume",
+    ),
+)
+
+
+def make_grid(shape, distances, harmonic_type="fourier") -> RegularCartesianGrid:
+    """Build grid metadata incl. the power distributor (host precompute)."""
+    shape = (shape,) if isinstance(shape, int) else tuple(shape)
+    distances = tuple(np.broadcast_to(distances, (len(shape),)).astype(float))
+    totvol = float(np.prod(np.array(shape) * np.array(distances)))
+    if harmonic_type.lower() != "fourier":
+        raise ValueError(f"invalid `harmonic_type` {harmonic_type!r}")
+
+    m_length_idx, m_length, m_count = fourier_mode_distributor(shape, distances)
+    # Relative log mode lengths: um[0] = 0 (zero mode), um[k>=1] =
+    # log(k_len) - log(k_len[1]); log_volume are the log-k bin widths the
+    # IWP deviations integrate over.
+    um = m_length.copy()
+    um[1:] = np.log(um[1:])
+    um[1:] -= um[1]
+    assert um[0] == 0.0
+    log_vol = um[2:] - um[1:-1]
+
+    harmonic_grid = RegularFourierGrid(
+        shape=shape,
+        power_distributor=m_length_idx,
+        mode_multiplicity=m_count,
+        mode_lengths=m_length,
+        relative_log_mode_lengths=um,
+        log_volume=log_vol,
+    )
+    return RegularCartesianGrid(
+        shape=shape,
+        total_volume=totvol,
+        distances=distances,
+        harmonic_grid=harmonic_grid,
+    )
+
+
+def _remove_slope(rel_log_mode_dist, x):
+    sc = rel_log_mode_dist / rel_log_mode_dist[-1]
+    return x - x[-1] * sc
+
+
+def _as_prior(x, default, what):
+    if isinstance(x, (tuple, list)):
+        return default(*x)
+    if callable(x):
+        return x
+    raise TypeError(f"invalid `{what}` specified; got {type(x)!r}")
+
+
+def non_parametric_amplitude(
+    grid: RegularCartesianGrid,
+    fluctuations: Callable,
+    loglogavgslope: Callable,
+    flexibility: Optional[Callable] = None,
+    asperity: Optional[Callable] = None,
+    prefix: str = "",
+    kind: str = "amplitude",
+) -> Model:
+    """Non-parametric amplitude spectrum: power law + IWP deviations.
+
+    Parity: ``src/re/correlated_field.py:219``.
+    """
+    totvol = grid.total_volume
+    rel_log_mode_len = jnp.asarray(grid.harmonic_grid.relative_log_mode_lengths)
+    mode_multiplicity = jnp.asarray(grid.harmonic_grid.mode_multiplicity, dtype=float)
+    log_vol = np.asarray(grid.harmonic_grid.log_volume)
+
+    fluctuations = WrappedCall(
+        fluctuations, name=prefix + "fluctuations", white_init=True
+    )
+    ptree = dict(fluctuations.domain)
+    loglogavgslope = WrappedCall(
+        loglogavgslope, name=prefix + "loglogavgslope", white_init=True
+    )
+    ptree.update(loglogavgslope.domain)
+    deviations = None
+    if flexibility is not None and log_vol.size > 0:
+        flexibility = WrappedCall(
+            flexibility, name=prefix + "flexibility", white_init=True
+        )
+        if asperity is not None:
+            asperity = WrappedCall(
+                asperity, name=prefix + "asperity", white_init=True
+            )
+        deviations = IntegratedWienerProcess(
+            jnp.zeros((2,)),
+            flexibility,
+            jnp.asarray(log_vol),
+            name=prefix + "spectrum",
+            asperity=asperity,
+        )
+        ptree.update(deviations.domain)
+
+    def amplitude(primals: Mapping) -> jnp.ndarray:
+        flu = fluctuations(primals)
+        ln_spectrum = loglogavgslope(primals) * rel_log_mode_len
+        if deviations is not None:
+            twolog = deviations(primals)
+            # Zero-mode prepended; IWP position component only.
+            twolog = jnp.concatenate((jnp.zeros((1,)), twolog[:, 0]))
+            ln_spectrum += _remove_slope(rel_log_mode_len, twolog)
+
+        spectrum = jnp.exp(ln_spectrum)
+        if kind.lower() == "amplitude":
+            norm = jnp.sqrt(jnp.sum(mode_multiplicity[1:] * spectrum[1:] ** 2))
+            norm /= jnp.sqrt(totvol)
+            amp = flu * (jnp.sqrt(totvol) / norm) * spectrum
+        elif kind.lower() == "power":
+            norm = jnp.sqrt(jnp.sum(mode_multiplicity[1:] * spectrum[1:]))
+            norm /= jnp.sqrt(totvol)
+            amp = flu * (jnp.sqrt(totvol) / norm) * jnp.sqrt(spectrum)
+        else:
+            raise ValueError(f"invalid kind {kind!r}")
+        return amp.at[0].set(totvol)
+
+    return Model(
+        amplitude, domain=dict(ptree), init=partial(random_like, primals=ptree)
+    )
+
+
+def matern_amplitude(
+    grid: RegularCartesianGrid,
+    scale: Callable,
+    cutoff: Callable,
+    loglogslope: Callable,
+    renormalize_amplitude: bool = False,
+    prefix: str = "",
+    kind: str = "amplitude",
+) -> Model:
+    """Matérn-kernel amplitude: A(k) = a (1 + (k/b)^2)^{c/4}.
+
+    Parity: ``src/re/correlated_field.py:149``.
+    """
+    totvol = grid.total_volume
+    mode_lengths = jnp.asarray(grid.harmonic_grid.mode_lengths)
+    mode_multiplicity = jnp.asarray(grid.harmonic_grid.mode_multiplicity, dtype=float)
+
+    scale = WrappedCall(scale, name=prefix + "scale")
+    ptree = dict(scale.domain)
+    cutoff = WrappedCall(cutoff, name=prefix + "cutoff")
+    ptree.update(cutoff.domain)
+    loglogslope = WrappedCall(loglogslope, name=prefix + "loglogslope")
+    ptree.update(loglogslope.domain)
+
+    def amplitude(primals: Mapping) -> jnp.ndarray:
+        scl = scale(primals)
+        ctf = cutoff(primals)
+        slp = loglogslope(primals)
+        ln_spectrum = 0.25 * slp * jnp.log1p((mode_lengths / ctf) ** 2)
+        spectrum = jnp.exp(ln_spectrum)
+
+        norm = 1.0
+        if renormalize_amplitude:
+            if kind.lower() == "amplitude":
+                norm = jnp.sqrt(jnp.sum(mode_multiplicity[1:] * spectrum[1:] ** 4))
+            elif kind.lower() == "power":
+                norm = jnp.sqrt(jnp.sum(mode_multiplicity[1:] * spectrum[1:] ** 2))
+            norm /= jnp.sqrt(totvol)
+        spectrum = scl * (jnp.sqrt(totvol) / norm) * spectrum
+        spectrum = spectrum.at[0].set(totvol)
+        if kind.lower() == "power":
+            spectrum = jnp.sqrt(spectrum)
+        elif kind.lower() != "amplitude":
+            raise ValueError(f"invalid kind {kind!r}")
+        return spectrum
+
+    return Model(
+        amplitude, domain=dict(ptree), init=partial(random_like, primals=ptree)
+    )
+
+
+class CorrelatedFieldMaker:
+    """Construction helper for hierarchical correlated field models.
+
+    Parity: ``src/re/correlated_field.py:311``; see class docstring there
+    for the modeling background.  Each ``add_fluctuations*`` call adds one
+    target subgrid; ``finalize`` composes power distribution → outer
+    product → zero-mode scaling → Hartley transform → offset.
+    """
+
+    def __init__(self, prefix: str):
+        self._azm = None
+        self._offset_mean = None
+        self._fluctuations = []
+        self._target_grids = []
+        self._parameter_tree = {}
+        self._prefix = prefix
+
+    def add_fluctuations(
+        self,
+        shape: Union[tuple, int],
+        distances: Union[tuple, float],
+        fluctuations: Union[tuple, Callable],
+        loglogavgslope: Union[tuple, Callable],
+        flexibility: Union[tuple, Callable, None] = None,
+        asperity: Union[tuple, Callable, None] = None,
+        prefix: str = "",
+        harmonic_type: str = "fourier",
+        non_parametric_kind: str = "amplitude",
+    ):
+        """Add a non-parametric correlation structure on a new subgrid."""
+        grid = make_grid(shape, distances, harmonic_type)
+        npa = non_parametric_amplitude(
+            grid=grid,
+            fluctuations=_as_prior(fluctuations, lognormal_prior, "fluctuations"),
+            loglogavgslope=_as_prior(loglogavgslope, normal_prior, "loglogavgslope"),
+            flexibility=(
+                None if flexibility is None
+                else _as_prior(flexibility, lognormal_prior, "flexibility")
+            ),
+            asperity=(
+                None if asperity is None
+                else _as_prior(asperity, lognormal_prior, "asperity")
+            ),
+            prefix=self._prefix + prefix,
+            kind=non_parametric_kind,
+        )
+        self._fluctuations.append(npa)
+        self._target_grids.append(grid)
+        self._parameter_tree.update(npa.domain)
+
+    def add_fluctuations_matern(
+        self,
+        shape: Union[tuple, int],
+        distances: Union[tuple, float],
+        scale: Union[tuple, Callable],
+        cutoff: Union[tuple, Callable],
+        loglogslope: Union[tuple, Callable],
+        renormalize_amplitude: bool = False,
+        prefix: str = "",
+        harmonic_type: str = "fourier",
+        non_parametric_kind: str = "amplitude",
+    ):
+        """Add a Matérn-kernel correlation structure on a new subgrid."""
+        grid = make_grid(shape, distances, harmonic_type)
+        ma = matern_amplitude(
+            grid=grid,
+            scale=_as_prior(scale, lognormal_prior, "scale"),
+            cutoff=_as_prior(cutoff, lognormal_prior, "cutoff"),
+            loglogslope=_as_prior(loglogslope, normal_prior, "loglogslope"),
+            renormalize_amplitude=renormalize_amplitude,
+            prefix=self._prefix + prefix,
+            kind=non_parametric_kind,
+        )
+        self._fluctuations.append(ma)
+        self._target_grids.append(grid)
+        self._parameter_tree.update(ma.domain)
+
+    def set_amplitude_total_offset(self, offset_mean, offset_std):
+        """Set the global offset mean and the zero-mode std prior."""
+        self._offset_mean = offset_mean
+        zm = offset_std
+        if not callable(zm):
+            if zm is None or len(zm) != 2:
+                raise TypeError(f"invalid `offset_std` {zm!r}")
+            zm = lognormal_prior(*zm)
+        self._azm = wrap(zm, self._prefix + "zeromode")
+        self._parameter_tree[self._prefix + "zeromode"] = ShapeWithDtype(())
+
+    @property
+    def amplitude_total_offset(self) -> Callable:
+        if self._azm is None:
+            raise RuntimeError("set `amplitude_total_offset` first")
+        return self._azm
+
+    azm = amplitude_total_offset
+
+    @property
+    def fluctuations(self) -> Tuple[Callable, ...]:
+        return tuple(self._fluctuations)
+
+    def get_normalized_amplitudes(self) -> Tuple[Callable, ...]:
+        """Amplitudes with the degenerate zero-mode divided out."""
+
+        def mk(amp):
+            def normed(p):
+                return amp(p).at[1:].mul(1.0 / self.azm(p))
+
+            return normed
+
+        return tuple(mk(a) for a in self._fluctuations)
+
+    @property
+    def amplitude(self) -> Callable:
+        if len(self._fluctuations) > 1:
+            raise NotImplementedError(
+                "multiple spectra have no unique absolute amplitude"
+            )
+        amp = self._fluctuations[0]
+
+        def amplitude_w_zm(p):
+            return amp(p).at[0].mul(self.azm(p))
+
+        return amplitude_w_zm
+
+    @property
+    def power_spectrum(self) -> Callable:
+        amp = self.amplitude
+        return lambda p: amp(p) ** 2
+
+    def finalize(self) -> Model:
+        """Compose and return the correlated field as a :class:`Model`."""
+        excitation_shape = ()
+        sub_axes = []
+        for grid in self._target_grids:
+            sub_shp = grid.harmonic_grid.shape
+            excitation_shape += sub_shp
+            n = len(excitation_shape)
+            sub_axes.append(tuple(range(n - len(sub_shp), n)))
+
+        pfx = self._prefix + "xi"
+        self._parameter_tree[pfx] = ShapeWithDtype(excitation_shape)
+
+        grids = tuple(self._target_grids)
+        namps = self.get_normalized_amplitudes()
+        offset_mean = self._offset_mean
+        azm = self.azm
+        # Per-subgrid Hartley transforms over that subgrid's axes (the
+        # composition over disjoint axis groups, matching the reference's
+        # outer harmonic transform; identical to a joint transform for a
+        # single subgrid).
+        transforms = tuple(
+            (1.0 / g.total_volume, axes) for g, axes in zip(grids, sub_axes)
+        )
+
+        def outer_harmonic_transform(x):
+            for dvol, axes in transforms:
+                x = dvol * hartley(x, axes=axes)
+            return x
+
+        # Distributor indices as static numpy constants (gather on device).
+        distributors = tuple(
+            np.asarray(g.harmonic_grid.power_distributor) for g in grids
+        )
+
+        def outer_amplitude(p):
+            outer = namps[0](p)[distributors[0]]
+            for amp, dist in zip(namps[1:], distributors[1:]):
+                outer = jnp.tensordot(outer, amp(p)[dist], axes=0)
+            return outer
+
+        def correlated_field(p):
+            ea = outer_amplitude(p)
+            cf_h = azm(p) * ea * p[pfx]
+            return offset_mean + outer_harmonic_transform(cf_h)
+
+        init = {
+            k: partial(random_like, primals=v)
+            for k, v in self._parameter_tree.items()
+        }
+        cf = Model(
+            correlated_field, domain=dict(self._parameter_tree), init=init
+        )
+        cf.normalized_amplitudes = namps
+        cf.target_grids = grids
+        return cf

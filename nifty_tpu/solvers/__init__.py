@@ -1,0 +1,3 @@
+from . import cg
+from .cg import CGResults, cg as cg_solve, static_cg
+from .newton_cg import OptimizeResults, _newton_cg, minimize, newton_cg
