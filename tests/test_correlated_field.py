@@ -1,0 +1,159 @@
+"""Correlated field parity tests against the reference NIFTy.re.
+
+Mirrors the reference's cross-stack equivalence strategy
+(``test/test_re/test_correlated_field.py``): identical latent inputs must
+produce outputs matching to float tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nifty_tpu as jft
+from tests.conftest import load_reference_re
+
+pmp = pytest.mark.parametrize
+
+
+def _build_pair(jref, cf_kwargs, offset_mean=0.2, offset_std=(1e-1, 3e-2),
+                matern=False):
+    ms = []
+    for mod in (jref, jft):
+        cfm = mod.CorrelatedFieldMaker("cf")
+        cfm.set_amplitude_total_offset(offset_mean=offset_mean,
+                                       offset_std=offset_std)
+        if matern:
+            cfm.add_fluctuations_matern(**cf_kwargs)
+        else:
+            cfm.add_fluctuations(**cf_kwargs)
+        ms.append((cfm, cfm.finalize()))
+    return ms
+
+
+@pmp("shape,distances", [((16,), 1.0 / 16), ((8, 8), 0.25), ((4, 4, 4), 1.0)])
+@pmp("flex", [None, (1.0, 0.5)])
+def test_cf_matches_reference(shape, distances, flex, key):
+    jref = load_reference_re()
+    if jref is None:
+        pytest.skip("reference NIFTy.re unavailable")
+    kwargs = dict(
+        shape=shape, distances=distances, fluctuations=(1.0, 0.5),
+        loglogavgslope=(-2.0, 0.5), flexibility=flex,
+        asperity=(0.2, 2e-2) if flex is not None else None,
+    )
+    (cfm_r, cf_r), (cfm_m, cf_m) = _build_pair(jref, kwargs)
+    assert {k: tuple(v.shape) for k, v in cf_r.domain.items()} == \
+        {k: tuple(v.shape) for k, v in cf_m.domain.items()}
+    p = cf_m.init(key)
+    np.testing.assert_allclose(cf_r(p), cf_m(p), rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(
+        cfm_r.amplitude(p), cfm_m.amplitude(p), rtol=1e-11, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        cfm_r.power_spectrum(p), cfm_m.power_spectrum(p), rtol=1e-10, atol=1e-11
+    )
+
+
+def test_cf_matern_matches_reference(key):
+    jref = load_reference_re()
+    if jref is None:
+        pytest.skip("reference NIFTy.re unavailable")
+    kwargs = dict(
+        shape=(16, 16), distances=1.0 / 16, scale=(1.0, 0.5),
+        cutoff=(1.0, 1.0), loglogslope=(-4.0, 0.5),
+        renormalize_amplitude=False,
+    )
+    (_, cf_r), (_, cf_m) = _build_pair(jref, kwargs, matern=True)
+    p = cf_m.init(key)
+    np.testing.assert_allclose(cf_r(p), cf_m(p), rtol=1e-11, atol=1e-11)
+
+
+def test_cf_multi_subdomain_matches_reference(key):
+    jref = load_reference_re()
+    if jref is None:
+        pytest.skip("reference NIFTy.re unavailable")
+    ms = []
+    for mod in (jref, jft):
+        cfm = mod.CorrelatedFieldMaker("cf")
+        cfm.set_amplitude_total_offset(offset_mean=0.0, offset_std=(1e-1, 3e-2))
+        cfm.add_fluctuations((8,), 0.5, (1.0, 0.5), (-2.0, 0.5),
+                             prefix="ax1")
+        cfm.add_fluctuations((6,), 1.0, (2.0, 0.5), (-3.0, 0.5),
+                             prefix="ax2")
+        ms.append(cfm.finalize())
+    cf_r, cf_m = ms
+    p = cf_m.init(key)
+    assert cf_m(p).shape == (8, 6)
+    np.testing.assert_allclose(cf_r(p), cf_m(p), rtol=1e-11, atol=1e-11)
+
+
+def test_cf_jacobian_matches_reference(key):
+    jref = load_reference_re()
+    if jref is None:
+        pytest.skip("reference NIFTy.re unavailable")
+    kwargs = dict(shape=(8, 8), distances=0.125, fluctuations=(1.0, 0.5),
+                  loglogavgslope=(-2.0, 0.5), flexibility=(1.0, 0.5),
+                  asperity=(0.2, 2e-2))
+    (_, cf_r), (_, cf_m) = _build_pair(jref, kwargs)
+    p = cf_m.init(key)
+    t = jft.random_like(jax.random.PRNGKey(7), cf_m.domain)
+    _, jr = jax.jvp(cf_r, (p,), (t,))
+    _, jm = jax.jvp(cf_m, (p,), (t,))
+    np.testing.assert_allclose(jr, jm, rtol=1e-10, atol=1e-10)
+
+
+def test_gauss_markov_match_reference(key):
+    jref = load_reference_re()
+    if jref is None:
+        pytest.skip("reference NIFTy.re unavailable")
+    import nifty_tpu.models.gauss_markov as gm
+
+    rng = np.random.default_rng(3)
+    n = 11
+    xi1 = jnp.asarray(rng.normal(size=n))
+    dt = jnp.asarray(rng.uniform(0.1, 1.0, size=n))
+    np.testing.assert_allclose(
+        jref.gauss_markov.wiener_process(xi1, 0.3, 1.7, dt),
+        gm.wiener_process(xi1, 0.3, 1.7, dt), rtol=1e-12,
+    )
+    xi2 = jnp.asarray(rng.normal(size=(n, 2)))
+    for asp in (None, 0.3):
+        np.testing.assert_allclose(
+            jref.gauss_markov.integrated_wiener_process(
+                xi2, jnp.array([0.1, -0.2]), 1.3, dt, asp
+            ),
+            gm.integrated_wiener_process(
+                xi2, jnp.array([0.1, -0.2]), 1.3, dt, asp
+            ),
+            rtol=1e-12,
+        )
+    np.testing.assert_allclose(
+        jref.gauss_markov.ornstein_uhlenbeck_process(xi1, 0.4, 1.2, 0.7, dt),
+        gm.ornstein_uhlenbeck_process(xi1, 0.4, 1.2, 0.7, dt), rtol=1e-10,
+    )
+
+
+def test_prior_transforms_match_reference(key):
+    jref = load_reference_re()
+    if jref is None:
+        pytest.skip("reference NIFTy.re unavailable")
+    import nifty_tpu.stats as stats
+
+    x = jnp.linspace(-5, 5, 101)
+    np.testing.assert_allclose(
+        jref.lognormal_prior(2.0, 0.5)(x), stats.lognormal_prior(2.0, 0.5)(x),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        jref.uniform_prior(-1.0, 3.0)(x), stats.uniform_prior(-1.0, 3.0)(x),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        jref.laplace_prior(1.3)(x), stats.laplace_prior(1.3)(x),
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        jref.invgamma_prior(3.0, 2.0)(x), stats.invgamma_prior(3.0, 2.0)(x),
+        rtol=1e-6,
+    )

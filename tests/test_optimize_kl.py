@@ -1,0 +1,124 @@
+"""End-to-end VI driver tests (ref model: ``test/test_re/test_optimize_kl.py``
+— full OptimizeVI runs over sample modes and point estimates)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nifty_tpu as jft
+
+pmp = pytest.mark.parametrize
+
+
+def _small_problem(key, dims=(16, 16), noise_std=0.1):
+    cfm = jft.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(dims, distances=1.0 / dims[0], fluctuations=(1.0, 0.5),
+                         loglogavgslope=(-3.0, 0.2))
+    cf = cfm.finalize()
+    k1, k2 = jax.random.split(key)
+    truth_pos = cf.init(k1)
+    truth = cf(truth_pos)
+    data = truth + noise_std * jax.random.normal(k2, truth.shape)
+    lh = jft.Gaussian(data, noise_cov_inv=lambda x: x / noise_std ** 2).amend(cf)
+    return lh, cf, truth, noise_std
+
+
+@pmp("sample_mode", ["linear_resample", "nonlinear_resample"])
+def test_optimize_kl_recovers_truth(key, sample_mode, tmp_path):
+    lh, cf, truth, noise_std = _small_problem(key)
+    ki, ko = jax.random.split(jax.random.PRNGKey(12))
+    init = jft.random_like(ki, lh.domain)
+    samples, state = jft.optimize_kl(
+        lh, init, key=ko, n_total_iterations=4, n_samples=2,
+        draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-9, maxiter=60)),
+        nonlinearly_update_kwargs=dict(
+            minimize_kwargs=dict(xtol=1e-3, maxiter=3)
+        ),
+        kl_kwargs=dict(minimize_kwargs=dict(absdelta=1e-8, maxiter=15)),
+        sample_mode=sample_mode,
+        odir=str(tmp_path),
+    )
+    pm = jft.mean([cf(s) for s in samples])
+    rms = float(jnp.sqrt(jnp.mean((pm - truth) ** 2)))
+    assert rms < 2 * noise_std, rms
+    stats, _ = jft.minisanity(samples, lh.normalized_residual)
+    rchisq = float(stats.reduced_chisq[0])
+    assert 0.5 < rchisq < 2.0, rchisq
+    assert state.nit == 4
+    assert os.path.isfile(os.path.join(tmp_path, "last.pkl"))
+    assert os.path.isfile(os.path.join(tmp_path, "minisanity.txt"))
+
+
+def test_optimize_kl_resume(key, tmp_path):
+    lh, cf, truth, noise_std = _small_problem(key)
+    ki, ko = jax.random.split(jax.random.PRNGKey(5))
+    init = jft.random_like(ki, lh.domain)
+    common = dict(
+        key=ko, n_samples=2,
+        draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-9, maxiter=60)),
+        kl_kwargs=dict(minimize_kwargs=dict(absdelta=1e-8, maxiter=15)),
+        sample_mode="linear_resample", odir=str(tmp_path),
+    )
+    s1, st1 = jft.optimize_kl(lh, init, n_total_iterations=2, **common)
+    # resume from checkpoint and continue to 4
+    s2, st2 = jft.optimize_kl(lh, None, n_total_iterations=4, resume=True,
+                              **common)
+    assert st2.nit == 4
+    # a fresh full 4-iteration run from the same key must agree closely
+    s3, st3 = jft.optimize_kl(lh, init, n_total_iterations=4, **{
+        **common, "odir": str(tmp_path) + "_b"
+    })
+    np.testing.assert_allclose(
+        np.asarray(s2.pos["cfxi"]), np.asarray(s3.pos["cfxi"]), atol=1e-5
+    )
+
+
+def test_optimize_kl_map_only(key):
+    lh, cf, truth, noise_std = _small_problem(key)
+    ki, ko = jax.random.split(jax.random.PRNGKey(7))
+    init = jft.random_like(ki, lh.domain)
+    samples, state = jft.optimize_kl(
+        lh, init, key=ko, n_total_iterations=3, n_samples=0,
+        kl_kwargs=dict(minimize_kwargs=dict(absdelta=1e-10, maxiter=30)),
+        sample_mode="linear_resample",
+    )
+    assert len(samples) == 0
+    # MAP should fit the data well
+    pm = cf(samples.pos)
+    rms = float(jnp.sqrt(jnp.mean((pm - truth) ** 2)))
+    assert rms < 2 * noise_std
+
+
+def test_optimize_kl_schedules(key):
+    """n_samples / sample_mode may be callables of the iteration index."""
+    lh, cf, truth, noise_std = _small_problem(key)
+    ki, ko = jax.random.split(jax.random.PRNGKey(9))
+    init = jft.random_like(ki, lh.domain)
+    samples, state = jft.optimize_kl(
+        lh, init, key=ko, n_total_iterations=3,
+        n_samples=lambda i: 2 if i >= 1 else 0,
+        draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-9, maxiter=60)),
+        kl_kwargs=dict(minimize_kwargs=dict(absdelta=1e-8, maxiter=15)),
+        sample_mode=lambda i: "linear_resample",
+    )
+    assert len(samples) == 4  # 2 antithetic pairs
+
+
+def test_vi_point_estimates(key):
+    lh, cf, truth, noise_std = _small_problem(key)
+    ki, ko = jax.random.split(jax.random.PRNGKey(11))
+    init = jft.random_like(ki, lh.domain)
+    samples, state = jft.optimize_kl(
+        lh, init, key=ko, n_total_iterations=2, n_samples=2,
+        point_estimates=("cfzeromode",),
+        draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-9, maxiter=60)),
+        kl_kwargs=dict(minimize_kwargs=dict(absdelta=1e-8, maxiter=15)),
+        sample_mode="linear_resample",
+    )
+    # the point-estimated parameter has zero residual in all samples
+    res = np.asarray(samples._samples["cfzeromode"])
+    assert np.all(res == 0.0)

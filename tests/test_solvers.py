@@ -1,0 +1,140 @@
+"""Solver tests (ref model: ``test/test_minimizers.py``,
+``test/test_re/test_ncg.py`` — quadratics + Rosenbrock across solvers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nifty_tpu.solvers.cg import _static_cg, static_cg
+from nifty_tpu.solvers.newton_cg import _newton_cg, minimize, newton_cg
+
+
+def _spd(rng, n=24, cond=50.0):
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    ev = np.geomspace(1.0, cond, n)
+    return q @ np.diag(ev) @ q.T
+
+
+def test_cg_solves_spd(rng):
+    A = _spd(rng)
+    b = rng.normal(size=A.shape[0])
+    x, info = static_cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(b),
+                        resnorm=1e-12, maxiter=500)
+    assert int(info) == 0
+    np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-8, atol=1e-8)
+
+
+def test_cg_absdelta_stopping(rng):
+    A = _spd(rng)
+    b = rng.normal(size=A.shape[0])
+    res = _static_cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(b),
+                     absdelta=1e-14, maxiter=500)
+    assert int(res.info) == 0
+    np.testing.assert_allclose(res.x, np.linalg.solve(A, b), rtol=1e-5, atol=1e-5)
+
+
+def test_cg_tree_domain(rng):
+    A1, A2 = _spd(rng, 10), _spd(rng, 7)
+    b = {"x": jnp.asarray(rng.normal(size=10)), "y": jnp.asarray(rng.normal(size=7))}
+
+    def mat(v):
+        return {"x": jnp.asarray(A1) @ v["x"], "y": jnp.asarray(A2) @ v["y"]}
+
+    res = _static_cg(mat, b, resnorm=1e-12, maxiter=500)
+    np.testing.assert_allclose(res.x["x"], np.linalg.solve(A1, b["x"]), rtol=1e-7)
+    np.testing.assert_allclose(res.x["y"], np.linalg.solve(A2, b["y"]), rtol=1e-7)
+
+
+def test_cg_preconditioner_accelerates(rng):
+    A = _spd(rng, cond=1e4)
+    b = rng.normal(size=A.shape[0])
+    D_inv = 1.0 / np.diag(A)
+    res0 = _static_cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(b),
+                      resnorm=1e-10, maxiter=1000)
+    res1 = _static_cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(b),
+                      resnorm=1e-10, maxiter=1000,
+                      preconditioner=lambda r: jnp.asarray(D_inv) * r)
+    np.testing.assert_allclose(res1.x, np.linalg.solve(A, b), rtol=1e-6, atol=1e-6)
+    assert int(res1.nit) <= int(res0.nit) + 5
+
+
+def test_cg_under_jit_and_vmap(rng):
+    A = _spd(rng, 12)
+    bs = jnp.asarray(rng.normal(size=(4, 12)))
+
+    def solve(b):
+        return _static_cg(lambda x: jnp.asarray(A) @ x, b, resnorm=1e-11,
+                          maxiter=200).x
+
+    xs = jax.jit(jax.vmap(solve))(bs)
+    expected = np.linalg.solve(A, np.asarray(bs).T).T
+    np.testing.assert_allclose(xs, expected, rtol=1e-6, atol=1e-7)
+
+
+def _rosen(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+
+@pytest.mark.parametrize("start", [0.0, 0.5, -0.3, 2.0])
+def test_ncg_rosenbrock(start):
+    res = _newton_cg(_rosen, start * jnp.ones(6), maxiter=300, absdelta=1e-14)
+    assert int(res.status) == 0
+    np.testing.assert_allclose(res.x, jnp.ones(6), rtol=1e-5, atol=1e-5)
+
+
+def test_ncg_quadratic_exact(rng):
+    A = _spd(rng, 15)
+    b = rng.normal(size=15)
+
+    def quad(x):
+        return 0.5 * x @ (jnp.asarray(A) @ x) - x @ jnp.asarray(b)
+
+    res = _newton_cg(quad, jnp.zeros(15), maxiter=50, absdelta=1e-15, xtol=1e-10)
+    np.testing.assert_allclose(res.x, np.linalg.solve(A, b), rtol=1e-6, atol=1e-7)
+
+
+def test_ncg_fun_and_grad_hessp(rng):
+    A = _spd(rng, 9)
+    b = rng.normal(size=9)
+
+    def fg(x):
+        return (0.5 * x @ (jnp.asarray(A) @ x) - x @ jnp.asarray(b),
+                jnp.asarray(A) @ x - jnp.asarray(b))
+
+    res = _newton_cg(None, jnp.zeros(9), fun_and_grad=fg,
+                     hessp=lambda x, t: jnp.asarray(A) @ t,
+                     maxiter=50, absdelta=1e-15, xtol=1e-10)
+    np.testing.assert_allclose(res.x, np.linalg.solve(A, b), rtol=1e-6, atol=1e-7)
+
+
+def test_ncg_jit_vmap():
+    xs = jnp.stack([jnp.zeros(6), 0.5 * jnp.ones(6), -0.3 * jnp.ones(6)])
+    sol = jax.jit(jax.vmap(
+        lambda x0: _newton_cg(_rosen, x0, maxiter=300, absdelta=1e-14).x
+    ))(xs)
+    np.testing.assert_allclose(sol, np.ones((3, 6)), rtol=1e-5, atol=1e-5)
+
+
+def test_ncg_tree_domain(rng):
+    def f(p):
+        return _rosen(p["x"]) + jnp.sum((p["y"] - 3.0) ** 2)
+
+    x0 = {"x": jnp.zeros(4), "y": jnp.zeros(3)}
+    res = _newton_cg(f, x0, maxiter=300, absdelta=1e-14, xtol=1e-9)
+    # the line search may abort in the last ulp-scale steps (status -1,
+    # matching the reference's "energy would increase" abort) — the
+    # minimizer must still be at the optimum to ~1e-3
+    np.testing.assert_allclose(res.x["x"], np.ones(4), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res.x["y"], 3 * np.ones(3), rtol=1e-6)
+
+
+def test_minimize_dispatch():
+    res = minimize(_rosen, jnp.zeros(5), method="newton-cg",
+                   options=dict(maxiter=300, absdelta=1e-14))
+    np.testing.assert_allclose(res.x, np.ones(5), rtol=1e-5, atol=1e-5)
+
+
+def test_newton_cg_wrapper():
+    x = newton_cg(_rosen, jnp.zeros(5), maxiter=300, absdelta=1e-14)
+    np.testing.assert_allclose(x, np.ones(5), rtol=1e-5, atol=1e-5)
