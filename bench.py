@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Benchmark: geoVI samples/s on a 128x128 correlated field (the
+BASELINE.json headline config, cf. `demos/0_intro.py` of the reference).
+
+One full OptimizeVI iteration = antithetic MGVI sample draw (metric-CG)
++ geoVI nonlinear update (Newton-CG) + KL Newton-CG update, all jitted.
+Reported metric: posterior samples produced per second per chip.
+
+``vs_baseline`` compares against the reference NIFTy.re running the same
+configuration with its stock driver on this machine's CPU (the reference
+has no TPU path; value measured once with
+``python bench.py --measure-reference`` and pinned below).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Reference NIFTy.re wall time per OptimizeVI iteration for the identical
+# 128x128 config (4 antithetic pairs, nonlinear_resample) measured on this
+# host's CPU with `--measure-reference` (see `_measure_reference`).
+REF_CPU_SAMPLES_PER_S = None  # filled after first measurement; see below
+_REF_FILE = "reference_baseline.json"
+
+DIMS = (128, 128)
+N_SAMPLES = 4  # antithetic pairs -> 8 posterior samples
+N_ITERS_TIMED = 3
+
+
+def _build(jft_mod, dims, seed=0, noise_std=0.1):
+    cfm = jft_mod.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(
+        dims, distances=1.0 / dims[0], fluctuations=(1.0, 5e-1),
+        loglogavgslope=(-3.0, 2e-1), flexibility=(1e0, 5e-1),
+        asperity=(5e-1, 5e-2),
+    )
+    cf = cfm.finalize()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    truth = cf(cf.init(k1))
+    data = truth + noise_std * jax.random.normal(k2, truth.shape)
+    lh = jft_mod.Gaussian(
+        data, noise_cov_inv=lambda x: x / noise_std ** 2
+    ).amend(cf)
+    return lh, cf
+
+
+_KWARGS = dict(
+    n_samples=N_SAMPLES,
+    draw_linear_kwargs=dict(cg_kwargs=dict(maxiter=50)),
+    nonlinearly_update_kwargs=dict(minimize_kwargs=dict(
+        xtol=1e-3, maxiter=5, cg_kwargs=dict(maxiter=20))),
+    kl_kwargs=dict(minimize_kwargs=dict(
+        xtol=1e-4, maxiter=10, cg_kwargs=dict(maxiter=30))),
+    sample_mode="nonlinear_resample",
+)
+
+
+def bench_ours():
+    import nifty_tpu as jft
+    import logging
+
+    jft.logger.setLevel(logging.WARNING)
+    lh, cf = _build(jft, DIMS)
+    opt = jft.OptimizeVI(lh, n_total_iterations=100, residual_map="vmap")
+    key = jax.random.PRNGKey(7)
+    state = opt.init_state(key, **_KWARGS)
+    samples = jft.Samples(
+        pos=jft.random_like(jax.random.PRNGKey(1), lh.domain),
+        samples=None, keys=None,
+    )
+    # Warm-up (compile everything)
+    samples, state = opt.update(samples, state)
+    jax.block_until_ready(samples.pos)
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS_TIMED):
+        samples, state = opt.update(samples, state)
+    jax.block_until_ready(samples.pos)
+    dt = (time.perf_counter() - t0) / N_ITERS_TIMED
+    return (2 * N_SAMPLES) / dt, float(state.minimization_state.fun)
+
+
+def _measure_reference():
+    """Measure the reference NIFTy.re on CPU for the same config."""
+    import os
+    import sys as _sys
+    import types
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.tree_util as jtu
+
+    if not hasattr(jax, "tree_map"):
+        jax.tree_map = jtu.tree_map
+    hcb = types.ModuleType("jax.experimental.host_callback")
+    hcb.call = lambda fn, arg, *, result_shape=None, **kw: jax.debug.callback(
+        lambda a: fn(a), arg
+    )
+    _sys.modules["jax.experimental.host_callback"] = hcb
+    import jax.experimental
+
+    jax.experimental.host_callback = hcb
+    _sys.path.insert(0, "/root/reference")
+    import nifty8.re as jref
+
+    lh, cf = _build(jref, DIMS)
+    opt = jref.OptimizeVI(lh, n_total_iterations=100)
+    key = jax.random.PRNGKey(7)
+    kw = dict(_KWARGS)
+    kw["draw_linear_kwargs"] = dict(
+        cg_name=None, cg_kwargs=dict(maxiter=50)
+    )
+    kw["nonlinearly_update_kwargs"] = dict(minimize_kwargs=dict(
+        xtol=1e-3, maxiter=5, cg_kwargs=dict(maxiter=20)))
+    kw["kl_kwargs"] = dict(minimize_kwargs=dict(
+        xtol=1e-4, maxiter=10, cg_kwargs=dict(maxiter=30)))
+    state = opt.init_state(key, **kw)
+    samples = jref.Samples(
+        pos=jref.Vector(
+            {k: jnp.zeros(v.shape) for k, v in lh.domain.items()}
+        ) if not hasattr(lh.domain, "tree") else None,
+        samples=None, keys=None,
+    )
+    import numpy as np
+
+    pos = {k: jnp.asarray(np.random.default_rng(1).normal(size=v.shape))
+           for k, v in dict(lh.domain).items()}
+    samples = jref.Samples(pos=jref.Vector(pos) if False else pos,
+                           samples=None, keys=None)
+    samples, state = opt.update(samples, state)  # warm-up
+    jax.block_until_ready(samples.pos)
+    t0 = time.perf_counter()
+    samples, state = opt.update(samples, state)
+    jax.block_until_ready(samples.pos)
+    dt = time.perf_counter() - t0
+    out = {"ref_cpu_samples_per_s": (2 * N_SAMPLES) / dt, "dims": DIMS,
+           "n_samples": N_SAMPLES}
+    with open(_REF_FILE, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+
+
+def main():
+    if "--measure-reference" in sys.argv:
+        _measure_reference()
+        return
+    sps, energy = bench_ours()
+    baseline = None
+    try:
+        with open(_REF_FILE) as f:
+            baseline = json.load(f)["ref_cpu_samples_per_s"]
+    except Exception:
+        baseline = None
+    vs = (sps / baseline) if baseline else 1.0
+    print(json.dumps({
+        "metric": "geovi_samples_per_s_128x128_cf",
+        "value": round(sps, 4),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -358,8 +358,17 @@ class CorrelatedFieldMaker:
         amp = self.amplitude
         return lambda p: amp(p) ** 2
 
-    def finalize(self) -> Model:
-        """Compose and return the correlated field as a :class:`Model`."""
+    def finalize(self, hartley_fn: Optional[Callable] = None) -> Model:
+        """Compose and return the correlated field as a :class:`Model`.
+
+        Parameters
+        ----------
+        hartley_fn : callable(x, axes) or None
+            Override for the Hartley transform, e.g. a mesh-sharded pencil
+            transform (:func:`nifty_tpu.ops.distributed_fft
+            .distributed_hartley`) for fields whose axes live on a device
+            mesh.  Defaults to the local rfft-based transform.
+        """
         excitation_shape = ()
         sub_axes = []
         for grid in self._target_grids:
@@ -382,10 +391,11 @@ class CorrelatedFieldMaker:
         transforms = tuple(
             (1.0 / g.total_volume, axes) for g, axes in zip(grids, sub_axes)
         )
+        ht = hartley if hartley_fn is None else hartley_fn
 
         def outer_harmonic_transform(x):
             for dvol, axes in transforms:
-                x = dvol * hartley(x, axes=axes)
+                x = dvol * ht(x, axes=axes)
             return x
 
         # Distributor indices as static numpy constants (gather on device).
