@@ -93,7 +93,7 @@ def _measure_reference():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    import jax.tree_util as jtu
+    from jax import tree_util as jtu
 
     if not hasattr(jax, "tree_map"):
         jax.tree_map = jtu.tree_map
@@ -102,8 +102,6 @@ def _measure_reference():
         lambda a: fn(a), arg
     )
     _sys.modules["jax.experimental.host_callback"] = hcb
-    import jax.experimental
-
     jax.experimental.host_callback = hcb
     _sys.path.insert(0, "/root/reference")
     import nifty8.re as jref
@@ -120,18 +118,11 @@ def _measure_reference():
     kw["kl_kwargs"] = dict(minimize_kwargs=dict(
         xtol=1e-4, maxiter=10, cg_kwargs=dict(maxiter=30)))
     state = opt.init_state(key, **kw)
-    samples = jref.Samples(
-        pos=jref.Vector(
-            {k: jnp.zeros(v.shape) for k, v in lh.domain.items()}
-        ) if not hasattr(lh.domain, "tree") else None,
-        samples=None, keys=None,
-    )
     import numpy as np
 
     pos = {k: jnp.asarray(np.random.default_rng(1).normal(size=v.shape))
            for k, v in dict(lh.domain).items()}
-    samples = jref.Samples(pos=jref.Vector(pos) if False else pos,
-                           samples=None, keys=None)
+    samples = jref.Samples(pos=jref.Vector(pos), samples=None, keys=None)
     samples, state = opt.update(samples, state)  # warm-up
     jax.block_until_ready(samples.pos)
     t0 = time.perf_counter()

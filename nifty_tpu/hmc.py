@@ -217,11 +217,17 @@ def _ckpt_idx_range(n):
 
 
 def is_euclidean_uturn(qp_left: QP, qp_right: QP):
-    """U-turn criterion: momentum at either end points back inside."""
+    """U-turn: the two trajectory ends move toward each other.
+
+    Both momenta are forward-time; turning iff the right end's momentum
+    projects negatively on (q_r - q_l) AND the left end's projects
+    negatively on (q_l - q_r) (Betancourt's conceptual-introduction form,
+    matching the reference ``src/re/hmc.py:395``).
+    """
     from .tree import vdot
 
     dq = tree_map(jnp.subtract, qp_right.position, qp_left.position)
-    return (vdot(qp_right.momentum, dq).real < 0.0) | (
+    return (vdot(qp_right.momentum, dq).real < 0.0) & (
         vdot(qp_left.momentum, tree_map(jnp.negative, dq)).real < 0.0
     )
 
