@@ -29,6 +29,8 @@ from .likelihood_impl import (
     VariableCovarianceGaussian,
     VariableCovarianceStudentT,
 )
+from .hmc import generate_hmc_acc_rej, generate_nuts_tree
+from .hmc_oo import Chain, HMCChain, NUTSChain
 from .logger import logger
 from .minisanity import minisanity, reduced_residual_stats
 from .model import Initializer, LazyModel, Model, WrappedCall, wrap, wrap_left

@@ -41,10 +41,9 @@ def _local_fftn_sharded0(x, axis_name: str):
         # 1-D: all_to_all to gather full vector slabs is equivalent to a
         # transpose with a dummy axis; use gather-based fallback.
         full = lax.all_gather(x, axis_name, axis=0, tiled=True)
-        return jnp.fft.fft(full)[
-            lax.axis_index(axis_name) * x.shape[0]:
-            (lax.axis_index(axis_name) + 1) * x.shape[0]
-        ]
+        full = jnp.fft.fft(full)
+        i = lax.axis_index(axis_name)
+        return lax.dynamic_slice_in_dim(full, i * x.shape[0], x.shape[0], 0)
     other_axes = tuple(range(1, nd))
     f = jnp.fft.fftn(x, axes=other_axes)
     # Pick a transpose partner axis divisible by the mesh extent (prefer

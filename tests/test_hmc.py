@@ -52,7 +52,9 @@ def test_leapfrog_reversibility():
 @pytest.mark.parametrize("sampler_cls,kwargs,inv_mass", [
     # HMC with the exact covariance as (inverse) mass matrix: ideal
     # preconditioning, so moment recovery isolates sampler correctness.
-    (hmc_oo.HMCChain, dict(num_steps=20, step_size=0.3), "cov"),
+    # trajectory length ~pi/2 in whitened units (L*eps=1.5): near-
+    # optimal rotation; L*eps~2pi would alias back to the start.
+    (hmc_oo.HMCChain, dict(num_steps=5, step_size=0.3), "cov"),
     # NUTS adapts its trajectory length; unit mass suffices.
     (hmc_oo.NUTSChain, dict(step_size=0.3, max_tree_depth=8), 1.0),
 ])
