@@ -8,7 +8,9 @@ solvers, sample- and field-axis sharding, psum reductions over ICI.
 """
 
 from . import config
+from . import num
 from .custom_map import lmap, smap
+from .evidence_lower_bound import estimate_evidence_lower_bound
 from .evi import (
     Samples,
     draw_linear_residual,
@@ -51,7 +53,15 @@ from .prior import (
     NormalPrior,
     UniformPrior,
 )
+from .responses import (
+    SamplingCartesianGridLOS,
+    StructuredKernelInterpolation,
+    interpolation_matrix,
+    matmul_toeplitz,
+)
 from .solvers import newton_cg, static_cg
+from .solvers.trust_ncg import trust_ncg
+from .variational import FullCovarianceVI, MeanFieldVI
 from .solvers.cg import cg
 from .solvers.newton_cg import OptimizeResults, minimize
 from .stats import (

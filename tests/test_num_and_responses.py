@@ -1,0 +1,286 @@
+"""Tests: trust-NCG, Lanczos/SLQ, unique, ELBO, LOS response, SKI, and
+parametric VI (ref models: ``test/test_re/test_lanczos.py``,
+``test_re/test_estimate_evidence_lower_bound.py``, ``test/test_operators/
+test_interpolated.py``, classic ``test/test_variational_models.py``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nifty_tpu as jft
+from nifty_tpu.num import amend_unique, lanczos_tridiag, stochastic_lq_logdet, unique
+from nifty_tpu.responses.ski import (
+    adjoint_interpolation,
+    apply_interpolation,
+    interpolation_matrix,
+    matmul_toeplitz,
+)
+from nifty_tpu.solvers.trust_ncg import _trust_ncg
+
+pmp = pytest.mark.parametrize
+
+
+# -- trust region ----------------------------------------------------------
+
+def _rosen(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+
+@pmp("start", [0.0, 2.0, -0.3])
+def test_trust_ncg_rosenbrock(start):
+    res = _trust_ncg(_rosen, start * jnp.ones(6), maxiter=500, gtol=1e-8)
+    assert int(res.status) == 0
+    np.testing.assert_allclose(res.x, np.ones(6), rtol=1e-6, atol=1e-6)
+
+
+def test_trust_ncg_vmap():
+    xs = jnp.stack([jnp.zeros(6), 2.0 * jnp.ones(6)])
+    sol = jax.jit(jax.vmap(
+        lambda x: _trust_ncg(_rosen, x, maxiter=500, gtol=1e-8).x
+    ))(xs)
+    np.testing.assert_allclose(sol, np.ones((2, 6)), rtol=1e-6, atol=1e-6)
+
+
+def test_minimize_trust_ncg_dispatch():
+    res = jft.minimize(_rosen, jnp.zeros(5), method="trust-ncg",
+                       options=dict(maxiter=500, gtol=1e-8))
+    np.testing.assert_allclose(res.x, np.ones(5), rtol=1e-6, atol=1e-6)
+
+
+# -- lanczos / SLQ ---------------------------------------------------------
+
+def _spd(rng, n=30, cond=100.0):
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    ev = np.geomspace(1.0, cond, n)
+    return q @ np.diag(ev) @ q.T
+
+
+def test_lanczos_tridiag_eigenvalues(rng):
+    A = _spd(rng, 40)
+    v = jnp.asarray(rng.normal(size=40))
+    order = 40
+    tri, vecs = lanczos_tridiag(lambda x: jnp.asarray(A) @ x, v, order)
+    ev_tri = np.sort(np.linalg.eigvalsh(np.asarray(tri)))
+    ev_a = np.sort(np.linalg.eigvalsh(A))
+    np.testing.assert_allclose(ev_tri, ev_a, rtol=1e-6, atol=1e-6)
+
+
+def test_slq_logdet(rng, key):
+    A = _spd(rng, 60, cond=30.0)
+    logdet = stochastic_lq_logdet(
+        lambda x: jnp.asarray(A) @ x, order=25, n_samples=30, key=key,
+        shape0=60,
+    )
+    expected = np.linalg.slogdet(A)[1]
+    assert abs(float(logdet) - expected) / abs(expected) < 0.15
+
+
+def test_unique(rng):
+    base = rng.normal(size=(3, 4))
+    noisy = np.repeat(base, (3, 2, 4), axis=0) + 1e-12 * rng.normal(size=(9, 4))
+    u, inv = unique(noisy, axis=0, return_inverse=True, atol=1e-8)
+    assert u.shape[0] == 3
+    np.testing.assert_allclose(u[inv], noisy, atol=1e-10)
+
+    u2, idx = amend_unique(u, base[1] + 1e-13, axis=0, atol=1e-8)
+    assert u2.shape[0] == 3 and idx == 1
+    u3, idx3 = amend_unique(u, rng.normal(size=4) + 10.0, axis=0, atol=1e-8)
+    assert u3.shape[0] == 4 and idx3 == 3
+
+
+# -- ELBO ------------------------------------------------------------------
+
+def test_elbo_linear_gaussian(rng, key):
+    """For a linear-Gaussian model the ELBO equals the true log-evidence
+    (up to the data-independent constant the framework drops)."""
+    n, m, noise = 4, 6, 0.5
+    R = rng.normal(size=(m, n))
+    truth = rng.normal(size=n)
+    data = R @ truth + noise * rng.normal(size=m)
+    lh = jft.Gaussian(
+        jnp.asarray(data), noise_cov_inv=lambda x: x / noise ** 2
+    ).amend(jft.Model(lambda p: jnp.asarray(R) @ p["x"],
+                      domain={"x": jft.ShapeWithDtype((n,))}))
+    M = R.T @ R / noise ** 2
+    post_cov = np.linalg.inv(M + np.eye(n))
+    post_mean = post_cov @ (R.T @ data / noise ** 2)
+
+    # Exact posterior samples around the exact mean.
+    nsamp = 2
+    eps = rng.normal(size=(nsamp, n))
+    chol = np.linalg.cholesky(post_cov)
+    resid = {"x": jnp.asarray(eps @ chol.T)}
+    samples = jft.Samples(pos={"x": jnp.asarray(post_mean)}, samples=resid)
+
+    elbo_samples, stats = jft.estimate_evidence_lower_bound(
+        lh, samples, n_eigenvalues=n, verbose=False
+    )
+    # Analytic expectation of the estimator for the exact posterior q:
+    # E[elbo] = -H(mu) - 0.5 log det(M+1)   (with <H> = H(mu) + dim/2 and
+    # the 0.5*dim entropy terms cancelling).
+    h_mu = 0.5 * np.sum((data - R @ post_mean) ** 2) / noise ** 2 \
+        + 0.5 * post_mean @ post_mean
+    expected = -h_mu - 0.5 * np.linalg.slogdet(M + np.eye(n))[1]
+    assert abs(stats["elbo_mean"] - expected) < 3.0  # MC spread of <H>
+
+    # SLQ variant agrees on the trace-log to ~15%
+    _, stats_slq = jft.estimate_evidence_lower_bound(
+        lh, samples, n_eigenvalues=n, verbose=False, method="slq",
+        slq_order=4, slq_samples=64, key=key,
+    )
+    assert abs(stats_slq["elbo_mean"] - stats["elbo_mean"]) < 3.0
+
+
+# -- LOS response ----------------------------------------------------------
+
+def test_los_constant_field(rng):
+    """Integrating a constant field gives the ray length times the value."""
+    shape, distances = (32, 32), (1 / 32, 1 / 32)
+    start = np.array([[0.1, 0.1], [0.2, 0.8]])
+    end = np.array([[0.9, 0.9], [0.8, 0.2]])
+    los = jft.SamplingCartesianGridLOS(
+        start, end, shape=shape, distances=distances, n_sampling_points=300
+    )
+    field = 2.5 * jnp.ones(shape)
+    out = los(field)
+    lengths = np.linalg.norm(end - start, axis=1)
+    np.testing.assert_allclose(out, 2.5 * lengths, rtol=1e-6)
+
+
+def test_los_linear_field(rng):
+    """Integral of a linear ramp equals length * midpoint value."""
+    shape, distances = (64, 64), (1 / 64, 1 / 64)
+    xs = (np.arange(64) + 0.5) / 64
+    field = jnp.asarray(np.broadcast_to(xs[:, None], (64, 64)))
+    start = np.array([[0.2, 0.5]])
+    end = np.array([[0.8, 0.5]])
+    los = jft.SamplingCartesianGridLOS(
+        start, end, shape=shape, distances=distances, n_sampling_points=500
+    )
+    out = float(los(field)[0])
+    assert abs(out - 0.6 * 0.5) < 0.02
+
+
+def test_los_adjoint_consistency(rng, key):
+    """<L f, y> == <f, L^T y> via autodiff (check_linear_operator analog)."""
+    shape, distances = (16, 16), (1 / 16, 1 / 16)
+    start = rng.uniform(0.2, 0.4, size=(5, 2))
+    end = rng.uniform(0.6, 0.8, size=(5, 2))
+    los = jft.SamplingCartesianGridLOS(
+        start, end, shape=shape, distances=distances, n_sampling_points=64
+    )
+    f = jnp.asarray(rng.normal(size=shape))
+    y = jnp.asarray(rng.normal(size=5))
+    lhs = float(jnp.vdot(los(f), y))
+    g = jax.grad(lambda v: jnp.vdot(los(v), y))(f)
+    rhs = float(jnp.vdot(f, g))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+# -- SKI -------------------------------------------------------------------
+
+def test_matmul_toeplitz(rng):
+    n = 16
+    c = rng.normal(size=n)
+    T = np.empty((n, n))
+    for i in range(n):
+        for j in range(n):
+            T[i, j] = c[i - j] if i >= j else np.conj(c[j - i])
+    x = rng.normal(size=(n, 3))
+    np.testing.assert_allclose(
+        matmul_toeplitz(jnp.asarray(c), jnp.asarray(x)), T @ x, rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        matmul_toeplitz(jnp.asarray(c), jnp.asarray(x[:, 0])), T @ x[:, 0],
+        rtol=1e-10,
+    )
+
+
+def test_interpolation_matrix_partition_of_unity(rng):
+    pts = rng.uniform(0.1, 0.9, size=(2, 40))
+    idx, w = interpolation_matrix((16, 16), [(0, 1), (0, 1)], pts)
+    np.testing.assert_allclose(np.asarray(w).sum(0), np.ones(40), rtol=1e-12)
+    # interpolating a constant grid returns the constant
+    f = 3.0 * jnp.ones(16 * 16)
+    np.testing.assert_allclose(
+        apply_interpolation(idx, jnp.asarray(w), f), 3.0 * np.ones(40),
+        rtol=1e-12,
+    )
+
+
+def test_interpolation_adjoint(rng):
+    pts = rng.uniform(0.1, 0.9, size=(2, 25))
+    idx, w = interpolation_matrix((8, 8), [(0, 1), (0, 1)], pts)
+    f = jnp.asarray(rng.normal(size=64))
+    v = jnp.asarray(rng.normal(size=25))
+    lhs = float(jnp.vdot(apply_interpolation(idx, w, f), v))
+    rhs = float(jnp.vdot(f, adjoint_interpolation(idx, w, v, 64)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_ski_model_covariance(rng, key):
+    """SKI field has approximately the kernel covariance between points."""
+    amp = lambda k: 1.0 / (1.0 + (k / 3.0) ** 2)
+    pts = np.stack([np.linspace(0.3, 0.7, 5), 0.5 * np.ones(5)])
+    ski = jft.StructuredKernelInterpolation(
+        (32, 32), [(0, 1), (0, 1)], pts, amp, padding=0.5
+    )
+    draw = jax.jit(jax.vmap(lambda k: ski(jft.random_like(k, ski.domain))))
+    out = draw(jax.random.split(key, 400))
+    emp_cov = np.cov(np.asarray(out).T)
+    # stationarity: diagonal approx constant
+    d = np.diag(emp_cov)
+    assert d.std() / d.mean() < 0.25
+    # decaying correlation with distance
+    corr = emp_cov[0] / np.sqrt(d[0] * d)
+    assert corr[1] > corr[3]
+
+
+# -- parametric VI ---------------------------------------------------------
+
+def test_meanfield_vi_gaussian_target(rng, key):
+    """On a linear-Gaussian target, mean-field VI recovers the posterior
+    mean and the diagonal of the covariance."""
+    n = 4
+    prec_diag = np.array([2.0, 1.5, 4.0, 1.2])  # diagonal (M+1), all > 1
+    data_term = rng.normal(size=n)
+    post_cov = 1.0 / prec_diag
+    post_mean = post_cov * data_term
+
+    # Build the likelihood directly: energy = 0.5 x^T (P-1) x - j^T x via
+    # a Gaussian on a scaled model.
+    A = np.sqrt(prec_diag - 1.0)
+    d = data_term / A
+    lh = jft.Gaussian(jnp.asarray(d)).amend(
+        jft.Model(lambda p: jnp.asarray(A) * p["x"],
+                  domain={"x": jft.ShapeWithDtype((n,))})
+    )
+    mf = jft.MeanFieldVI(lh, n_samples=8)
+    params, losses = mf.run(key, n_steps=600)
+    np.testing.assert_allclose(
+        np.asarray(params["mean"]["x"]), post_mean, atol=0.15
+    )
+    np.testing.assert_allclose(
+        np.exp(2 * np.asarray(params["log_std"]["x"])), post_cov, rtol=0.4
+    )
+    assert losses[-1] < losses[0]
+
+
+def test_fullcov_vi_gaussian_target(rng, key):
+    n = 3
+    R = rng.normal(size=(5, n))
+    noise = 0.7
+    data = rng.normal(size=5)
+    lh = jft.Gaussian(
+        jnp.asarray(data), noise_cov_inv=lambda x: x / noise ** 2
+    ).amend(jft.Model(lambda p: jnp.asarray(R) @ p["x"],
+                      domain={"x": jft.ShapeWithDtype((n,))}))
+    M = R.T @ R / noise ** 2
+    post_cov = np.linalg.inv(M + np.eye(n))
+    post_mean = post_cov @ (R.T @ data / noise ** 2)
+    fc = jft.FullCovarianceVI(lh, n_samples=8)
+    params, losses = fc.run(key, n_steps=800)
+    np.testing.assert_allclose(np.asarray(params["mean"]), post_mean, atol=0.1)
+    L = np.asarray(fc._cholesky(params))
+    np.testing.assert_allclose(L @ L.T, post_cov, atol=0.1)
