@@ -8,7 +8,26 @@ solvers, sample- and field-axis sharding, psum reductions over ICI.
 """
 
 from . import config
-from . import num
+from . import domains, num
+from .domains import (
+    DomainTuple,
+    Domain,
+    GLSpace,
+    HPSpace,
+    LMSpace,
+    PowerSpace,
+    RGSpace,
+    UnstructuredDomain,
+)
+from .field import (
+    Field,
+    create_power_operator,
+    from_random,
+    full,
+    makeField,
+    power_analyze,
+)
+from .ops.sht import SphericalHarmonicTransform
 from .custom_map import lmap, smap
 from .evidence_lower_bound import estimate_evidence_lower_bound
 from .evi import (

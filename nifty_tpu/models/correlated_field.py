@@ -59,9 +59,73 @@ RegularFourierGrid = namedtuple(
     ),
 )
 
+# Spherical-harmonic "grid": modes are the (lmax+1)^2 real coefficients,
+# binned by l; the harmonic transform is the TPU-native SHT synthesis.
+SphericalHarmonicGrid = namedtuple(
+    "SphericalHarmonicGrid",
+    (
+        "shape",
+        "power_distributor",
+        "mode_multiplicity",
+        "mode_lengths",
+        "relative_log_mode_lengths",
+        "log_volume",
+        "lmax",
+        "transform",
+    ),
+)
+
+
+def make_spherical_grid(lmax, nlat=None, nphi=None) -> RegularCartesianGrid:
+    """Sphere 'grid' metadata: l-binned power over (lmax+1)^2 real
+    coefficients; transform = exact Gauss-Legendre SHT synthesis scaled by
+    ``1/sqrt(4π)`` so ``fluctuations`` is the pointwise field std (same
+    convention as the Fourier branch)."""
+    from ..ops.sht import SphericalHarmonicTransform
+
+    lmax = int(lmax)
+    sht = SphericalHarmonicTransform(lmax, nlat=nlat, nphi=nphi)
+    totvol = 4.0 * np.pi
+    ls = np.asarray(
+        np.concatenate(
+            [np.arange(lmax + 1)]
+            + [np.repeat(np.arange(m, lmax + 1), 2) for m in range(1, lmax + 1)]
+        ),
+        dtype=np.int32,
+    )
+    m_length = np.arange(lmax + 1, dtype=np.float64)
+    m_count = 2 * np.arange(lmax + 1) + 1
+    um = m_length.copy()
+    um[1:] = np.log(um[1:])
+    um[1:] -= um[1]
+    log_vol = um[2:] - um[1:-1]
+
+    def transform(x, axes=None):
+        return sht.synthesize_real(x) / np.sqrt(totvol)
+
+    harmonic_grid = SphericalHarmonicGrid(
+        shape=((lmax + 1) ** 2,),
+        power_distributor=ls,
+        mode_multiplicity=m_count,
+        mode_lengths=m_length,
+        relative_log_mode_lengths=um,
+        log_volume=log_vol,
+        lmax=lmax,
+        transform=transform,
+    )
+    return RegularCartesianGrid(
+        shape=sht.grid_shape,
+        total_volume=totvol,
+        distances=None,
+        harmonic_grid=harmonic_grid,
+    )
+
 
 def make_grid(shape, distances, harmonic_type="fourier") -> RegularCartesianGrid:
     """Build grid metadata incl. the power distributor (host precompute)."""
+    if harmonic_type.lower() in ("spherical", "sphere", "sh"):
+        # `shape` is interpreted as lmax for spherical grids.
+        return make_spherical_grid(shape)
     shape = (shape,) if isinstance(shape, int) else tuple(shape)
     distances = tuple(np.broadcast_to(distances, (len(shape),)).astype(float))
     totvol = float(np.prod(np.array(shape) * np.array(distances)))
@@ -388,14 +452,23 @@ class CorrelatedFieldMaker:
         # composition over disjoint axis groups, matching the reference's
         # outer harmonic transform; identical to a joint transform for a
         # single subgrid).
-        transforms = tuple(
-            (1.0 / g.total_volume, axes) for g, axes in zip(grids, sub_axes)
-        )
+        spherical = [
+            isinstance(g.harmonic_grid, SphericalHarmonicGrid) for g in grids
+        ]
+        if any(spherical) and len(grids) > 1:
+            raise NotImplementedError(
+                "spherical subgrids are only supported as the sole subgrid"
+            )
         ht = hartley if hartley_fn is None else hartley_fn
+        transforms = tuple(
+            (1.0, g.harmonic_grid.transform, axes) if sph
+            else (1.0 / g.total_volume, ht, axes)
+            for g, axes, sph in zip(grids, sub_axes, spherical)
+        )
 
         def outer_harmonic_transform(x):
-            for dvol, axes in transforms:
-                x = dvol * ht(x, axes=axes)
+            for dvol, tf, axes in transforms:
+                x = dvol * tf(x, axes=axes)
             return x
 
         # Distributor indices as static numpy constants (gather on device).

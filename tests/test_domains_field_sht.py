@@ -1,0 +1,210 @@
+"""Domains, Field volume calculus, and the spherical harmonic transform
+(ref models: ``test/test_spaces/``, ``test/test_field.py``,
+``test/test_operators/test_adjoint.py`` for SHT adjointness)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nifty_tpu as jft
+from nifty_tpu.domains import (
+    DomainTuple,
+    GLSpace,
+    HPSpace,
+    LMSpace,
+    PowerSpace,
+    RGSpace,
+    UnstructuredDomain,
+)
+from nifty_tpu.field import Field, from_random, full, makeField, power_analyze
+from nifty_tpu.ops.sht import (
+    SphericalHarmonicTransform,
+    alm_index,
+    n_alm,
+    normalized_legendre_table,
+)
+
+pmp = pytest.mark.parametrize
+
+
+# -- domains ---------------------------------------------------------------
+
+def test_rgspace_basics():
+    s = RGSpace((8, 8), distances=0.25)
+    assert s.shape == (8, 8) and s.size == 64
+    assert s.scalar_dvol == 0.0625
+    assert np.isclose(s.total_volume, 4.0)
+    co = s.get_default_codomain()
+    assert co.harmonic and co.distances == (0.5, 0.5)
+    assert co.get_default_codomain() == s
+    # domains are cached/hashable
+    assert RGSpace((8, 8), distances=0.25) == s
+    assert DomainTuple.make(s) is DomainTuple.make(s)
+
+
+def test_rgspace_k_lengths():
+    s = RGSpace((8,), distances=1.0 / 8).get_default_codomain()
+    k = np.asarray(s.get_k_length_array())
+    np.testing.assert_allclose(k, np.abs(np.fft.fftfreq(8, d=1.0 / 8)))
+
+
+def test_power_space():
+    h = RGSpace((16, 16), 1.0 / 16).get_default_codomain()
+    p = PowerSpace(h)
+    assert p.pindex.shape == (16, 16)
+    assert p.shape[0] == len(p.k_lengths)
+    assert int(np.sum(p.dvol)) == 256
+
+
+def test_gl_hp_spaces():
+    gl = GLSpace(8)
+    assert gl.shape == (8 * 15,)
+    np.testing.assert_allclose(np.sum(gl._dvol_array()), 4 * np.pi, rtol=1e-12)
+    hp = HPSpace(4)
+    assert hp.shape == (192,)
+    np.testing.assert_allclose(hp.scalar_dvol * hp.size, 4 * np.pi)
+    lm = LMSpace(8)
+    assert lm.shape == (81,)
+    ls = np.asarray(lm.get_k_length_array())
+    assert ls.size == 81 and ls.max() == 8
+
+
+# -- field -----------------------------------------------------------------
+
+def test_field_weight_vdot_integrate(rng):
+    s = RGSpace((8, 8), distances=0.5)
+    f = makeField(s, rng.normal(size=(8, 8)))
+    g = makeField(s, rng.normal(size=(8, 8)))
+    np.testing.assert_allclose(
+        float(f.vdot(g)), 0.25 * np.vdot(np.asarray(f.val), np.asarray(g.val))
+    )
+    np.testing.assert_allclose(
+        float(full(s, 2.0).integrate()), 2.0 * s.total_volume
+    )
+    w = f.weight(1)
+    np.testing.assert_allclose(np.asarray(w.val), 0.25 * np.asarray(f.val))
+
+
+def test_field_arithmetic_and_pytree(rng, key):
+    s = UnstructuredDomain(5)
+    f = from_random(s, key)
+    g = (2.0 * f + 1.0).exp()
+    np.testing.assert_allclose(
+        np.asarray(g.val), np.exp(2.0 * np.asarray(f.val) + 1.0)
+    )
+    out = jax.jit(lambda x: x * 2.0)(f)
+    assert isinstance(out, Field) and out.domain == f.domain
+
+
+def test_power_analyze_white_noise(key):
+    h = RGSpace((64, 64), 1.0 / 64).get_default_codomain()
+    xi = from_random(h, key)
+    p = power_analyze(xi)
+    # white noise: flat unit spectrum
+    assert abs(float(jnp.mean(p.val)) - 1.0) < 0.2
+
+
+# -- SHT -------------------------------------------------------------------
+
+def test_legendre_vs_scipy():
+    try:
+        from scipy.special import sph_harm_y
+
+        def ref(l, m, th):
+            return sph_harm_y(l, m, th, 0.0).real
+    except ImportError:
+        from scipy.special import sph_harm
+
+        def ref(l, m, th):
+            return sph_harm(m, l, 0.0, th).real
+
+    lmax = 10
+    theta = np.linspace(0.1, 3.0, 5)
+    lam = normalized_legendre_table(lmax, theta)
+    for l in range(lmax + 1):
+        for m in range(l + 1):
+            np.testing.assert_allclose(
+                lam[m, :, l], ref(l, m, theta), atol=1e-13,
+                err_msg=f"l={l} m={m}",
+            )
+
+
+def test_sht_roundtrip(rng):
+    sht = SphericalHarmonicTransform(lmax=16)
+    alm = rng.normal(size=sht.n_alm) + 1j * rng.normal(size=sht.n_alm)
+    alm[: sht.lmax + 1] = alm[: sht.lmax + 1].real  # m=0 real
+    alm = jnp.asarray(alm)
+    np.testing.assert_allclose(
+        sht.map2alm(sht.alm2map(alm)), alm, atol=1e-12
+    )
+
+
+def test_sht_parseval(rng):
+    sht = SphericalHarmonicTransform(lmax=12)
+    x = jnp.asarray(rng.normal(size=(sht.lmax + 1) ** 2))
+    mp = np.asarray(sht.synthesize_real(x))
+    integ = np.sum(
+        sht.quad_weights[:, None] * mp ** 2
+    ) * 2 * np.pi / sht.nphi
+    np.testing.assert_allclose(integ, float(jnp.sum(x ** 2)), rtol=1e-10)
+
+
+def test_sht_y00_constant():
+    sht = SphericalHarmonicTransform(lmax=8)
+    alm = jnp.zeros(sht.n_alm, dtype=complex).at[0].set(1.0)
+    m = np.asarray(sht.alm2map(alm))
+    np.testing.assert_allclose(m, 1.0 / np.sqrt(4 * np.pi), rtol=1e-12)
+
+
+def test_sht_jit_and_grad(rng):
+    sht = SphericalHarmonicTransform(lmax=8)
+    x = jnp.asarray(rng.normal(size=(9) ** 2))
+    y = jnp.asarray(rng.normal(size=sht.grid_shape))
+    # adjoint consistency through autodiff
+    lhs = float(jnp.vdot(sht.synthesize_real(x), y))
+    g = jax.grad(lambda v: jnp.vdot(sht.synthesize_real(v), y))(x)
+    # <Sx, y> == <x, S^T y>
+    rhs = float(jnp.vdot(x, g))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+    jax.jit(sht.synthesize_real)(x)
+
+
+def test_spherical_correlated_field_std(key):
+    cfm = jft.CorrelatedFieldMaker("s")
+    cfm.set_amplitude_total_offset(offset_mean=0.0, offset_std=(1e-3, 1e-4))
+    cfm.add_fluctuations(16, None, fluctuations=(2.0, 1e-3),
+                         loglogavgslope=(-0.5, 1e-3), flexibility=None,
+                         harmonic_type="spherical")
+    cf = cfm.finalize()
+    outs = jax.vmap(lambda k: cf(cf.init(k)))(jax.random.split(key, 200))
+    sht = SphericalHarmonicTransform(16)
+    var_map = np.var(np.asarray(outs), axis=0)
+    w = sht.quad_weights[:, None] * np.ones((1, sht.nphi)) * 2 * np.pi / sht.nphi
+    std = np.sqrt(float((var_map * w).sum() / (4 * np.pi)))
+    assert abs(std - 2.0) < 0.25
+
+
+def test_spherical_cf_inference(key):
+    """End-to-end geoVI on a spherical correlated field."""
+    cfm = jft.CorrelatedFieldMaker("s")
+    cfm.set_amplitude_total_offset(offset_mean=0.5, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(8, None, fluctuations=(1.0, 0.5),
+                         loglogavgslope=(-2.0, 0.5), flexibility=None,
+                         harmonic_type="spherical")
+    cf = cfm.finalize()
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    truth = cf(cf.init(k1))
+    noise = 0.1
+    data = truth + noise * jax.random.normal(k2, truth.shape)
+    lh = jft.Gaussian(data, noise_cov_inv=lambda x: x / noise ** 2).amend(cf)
+    samples, state = jft.optimize_kl(
+        lh, jft.random_like(k3, lh.domain), key=k4,
+        n_total_iterations=3, n_samples=2,
+        draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-8, maxiter=50)),
+        kl_kwargs=dict(minimize_kwargs=dict(absdelta=1e-8, maxiter=12)),
+        sample_mode="linear_resample",
+    )
+    pm = jft.mean([cf(s) for s in samples])
+    rms = float(jnp.sqrt(jnp.mean((pm - truth) ** 2)))
+    assert rms < 3 * noise
