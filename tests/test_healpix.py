@@ -1,0 +1,74 @@
+"""HEALPix native-core tests (self-validating: bijections, round trips,
+the 24-seven-neighbor invariant, neighbor symmetry and locality)."""
+
+import numpy as np
+import pytest
+
+from nifty_tpu.ops import healpix as hp
+
+pmp = pytest.mark.parametrize
+
+
+@pmp("nside", [1, 2, 4, 8, 16, 32])
+def test_ring_nest_bijection(nside):
+    n = hp.npix(nside)
+    pix = np.arange(n)
+    nest = hp.ring2nest(nside, pix)
+    assert sorted(nest) == list(range(n))
+    np.testing.assert_array_equal(hp.nest2ring(nside, nest), pix)
+
+
+@pmp("nside", [1, 2, 8, 32])
+@pmp("nest", [False, True])
+def test_pix2ang_ang2pix_roundtrip(nside, nest):
+    pix = np.arange(hp.npix(nside))
+    th, ph = hp.pix2ang(nside, pix, nest=nest)
+    np.testing.assert_array_equal(hp.ang2pix(nside, th, ph, nest=nest), pix)
+    assert np.all((th >= 0) & (th <= np.pi))
+    assert np.all((ph >= 0) & (ph < 2 * np.pi))
+
+
+@pmp("nside", [4, 16])
+def test_schemes_agree_on_centers(nside):
+    pix = np.arange(hp.npix(nside))
+    th_n, ph_n = hp.pix2ang(nside, pix, nest=True)
+    th_r, ph_r = hp.pix2ang(nside, hp.nest2ring(nside, pix))
+    np.testing.assert_allclose(th_n, th_r, atol=1e-12)
+    np.testing.assert_allclose(ph_n, ph_r, atol=1e-12)
+
+
+def test_equal_area_property():
+    """Pixel z-distribution: equal-area means uniform counts in z bins."""
+    nside = 16
+    th, _ = hp.pix2ang(nside, np.arange(hp.npix(nside)))
+    z = np.cos(th)
+    counts, _ = np.histogram(z, bins=8, range=(-1, 1))
+    assert counts.std() / counts.mean() < 0.05
+
+
+@pmp("nside", [2, 4, 8, 16])
+def test_neighbors_invariants(nside):
+    n = hp.npix(nside)
+    nb = hp.neighbours_nest(nside, np.arange(n))
+    counts = (nb >= 0).sum(axis=1)
+    # HEALPix invariant: exactly 24 pixels have 7 neighbors, rest 8.
+    assert np.sum(counts == 7) == 24
+    assert np.sum(counts == 8) == n - 24
+    # symmetry
+    for p in range(n):
+        for q in nb[p]:
+            if q >= 0:
+                assert p in nb[q]
+    # locality: neighbors within ~1.5 pixel scales
+    vec = hp.pix2vec(nside, np.arange(n), nest=True)
+    scale = np.pi / (2 * nside)
+    for p in range(0, n, max(1, n // 128)):
+        for q in nb[p]:
+            if q >= 0:
+                d = np.arccos(np.clip(vec[p] @ vec[q], -1, 1))
+                assert d < 1.5 * scale
+
+
+def test_pix2vec_unit_norm():
+    v = hp.pix2vec(8, np.arange(hp.npix(8)))
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-12)
