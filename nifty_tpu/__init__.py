@@ -72,6 +72,12 @@ from .prior import (
     NormalPrior,
     UniformPrior,
 )
+from .refine import (
+    CoordinateChart,
+    HEALPixChart,
+    RefinementField,
+    RefinementHPField,
+)
 from .responses import (
     SamplingCartesianGridLOS,
     StructuredKernelInterpolation,
