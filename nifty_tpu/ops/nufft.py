@@ -1,0 +1,177 @@
+"""Non-uniform FFT (types 1 and 2) and a radio-interferometry response.
+
+The reference wraps the ducc0 C++ wgridder/nufft
+(``src/library/nft.py:63,94,111`` ``dirty2ms``/``ms2dirty``,
+``nu2u``/``u2nu``).  TPU-native design (Dutt–Rokhlin/Greengard–Lee
+Gaussian-kernel NUFFT):
+
+- type 2 (uniform → non-uniform): zero-pad to a σ-oversampled grid,
+  deconvolve by the kernel's Fourier factors, FFT, then *gather* a W^d
+  window per target point with Gaussian weights (a vmapped batched
+  gather + weighted reduction);
+- type 1 (adjoint): the exact vjp of type 2 — the gather becomes an XLA
+  scatter-add — so the operator pair passes adjointness tests by
+  construction.
+
+Accuracy is set by the spreading width ``W`` (≈ 1e-7 relative at W=8,
+σ=2 with the Gaussian kernel); w-term correction (wgridder) is handled by
+w-stacking in :class:`RadioResponse` when ``w`` values are provided.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax import numpy as jnp
+
+from ..model import Model
+from ..tree import ShapeWithDtype
+
+
+def _kernel_params(n: int, sigma: float, width: int):
+    n_os = int(np.round(sigma * n))
+    # Greengard & Lee 2004: tau = pi * (W/2) / (n^2 sigma (sigma - 0.5))
+    tau = np.pi * (width / 2.0) / (n ** 2 * sigma * (sigma - 0.5))
+    return n_os, tau
+
+
+def _deconv_factors(n: int, n_os: int, tau: float):
+    """Fourier-domain correction 1/ĝ for the Gaussian spreading kernel,
+    on the *centered* image axis of length n."""
+    k = np.arange(n) - n // 2
+    # e^{tau k^2} undoes the kernel's Fourier decay; sqrt(pi/tau)/Mr is
+    # the quadrature normalization of the spreading convolution.
+    return np.exp(tau * k.astype(float) ** 2) * np.sqrt(np.pi / tau) / n_os
+
+
+def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8):
+    """Type-2 NUFFT: complex visibilities at non-uniform frequencies.
+
+    ``image``: real or complex array (n1, ..., nd), pixel (0,...,0) at the
+    *center* (fftshift convention).  ``coords``: (npoints, d) frequencies
+    in cycles per full image extent, in [-n/2, n/2).
+    Returns ``v_j = Σ_x image[x] exp(-2πi f_j · x / n)``.
+    """
+    shape = image.shape
+    d = len(shape)
+    coords = jnp.asarray(coords)
+    params = [_kernel_params(n, sigma, width) for n in shape]
+    n_os = [p[0] for p in params]
+    taus = [p[1] for p in params]
+
+    # Deconvolution + zero-pad to the oversampled grid (centered).
+    corr = image
+    for ax, n in enumerate(shape):
+        f = jnp.asarray(_deconv_factors(n, n_os[ax], taus[ax]))
+        corr = corr * f.reshape([-1 if a == ax else 1 for a in range(d)])
+    pad = [((no - n) // 2, no - n - (no - n) // 2) for n, no in zip(shape, n_os)]
+    padded = jnp.pad(corr, pad)
+    # FFT with the image centered: shift → FFT → (values on os grid)
+    g = jnp.fft.fftn(jnp.fft.ifftshift(padded))
+
+    # Gather W^d window around each target (on the oversampled circle).
+    offs = jnp.arange(width) - width // 2 + 1
+
+    def interp_point(f):
+        idx = []
+        wgt = []
+        for ax in range(d):
+            scale = n_os[ax] / shape[ax]
+            x = f[ax] * scale  # position on the oversampled freq circle
+            i0 = jnp.floor(x).astype(jnp.int32)
+            ii = (i0 + offs) % n_os[ax]
+            dx = x - (i0 + offs)
+            # spreading kernel in the *frequency* domain of the os grid
+            w = jnp.exp(-(dx * 2.0 * np.pi / n_os[ax]) ** 2 / (4.0 * taus[ax]))
+            idx.append(ii)
+            wgt.append(w)
+        if d == 1:
+            return jnp.sum(g[idx[0]] * wgt[0])
+        if d == 2:
+            sub = g[jnp.ix_(idx[0], idx[1])] if False else g[idx[0][:, None], idx[1][None, :]]
+            return jnp.sum(sub * (wgt[0][:, None] * wgt[1][None, :]))
+        if d == 3:
+            sub = g[idx[0][:, None, None], idx[1][None, :, None], idx[2][None, None, :]]
+            w = wgt[0][:, None, None] * wgt[1][None, :, None] * wgt[2][None, None, :]
+            return jnp.sum(sub * w)
+        raise NotImplementedError("nufft supports up to 3 dimensions")
+
+    return jax.vmap(interp_point)(coords)
+
+
+def nufft1(shape, values, coords, *, sigma: float = 2.0, width: int = 8):
+    """Type-1 NUFFT (adjoint of :func:`nufft2`): grid non-uniform samples.
+
+    Returns ``image[x] = Σ_j v_j exp(+2πi f_j · x / n)`` on the centered
+    grid — exactly the vjp of the type-2 transform.
+    """
+    shape = tuple(shape)
+
+    def fwd(img):
+        return nufft2(img, coords, sigma=sigma, width=width)
+
+    proto = jnp.zeros(shape, dtype=jnp.result_type(values.dtype))
+    _, vjp = jax.vjp(fwd, proto)
+    # vjp computes conj-linear adjoint: <F x, v> = <x, F^H v>
+    return jnp.conj(vjp(jnp.conj(values))[0])
+
+
+class RadioResponse(Model):
+    """Radio-interferometry measurement operator: dirty image → vis.
+
+    Optionally applies w-term correction by w-stacking: visibilities are
+    grouped into ``n_w_planes`` bins of constant w; each plane applies the
+    phase screen ``exp(-2πi w (sqrt(1-l²-m²)-1))`` to the image before the
+    2-D NUFFT.  With ``w=None`` this is the coplanar gridder
+    (parity: ``src/library/nft.py:30`` Gridder / ``:80`` Nufft).
+    """
+
+    def __init__(self, shape, uv, *, pixsize=None, w=None, n_w_planes: int = 8,
+                 sigma: float = 2.0, width: int = 8, dtype=None):
+        self._shape = tuple(shape)
+        uv = np.asarray(uv, dtype=float)
+        if pixsize is not None:
+            # uv in wavelengths -> cycles per image extent
+            uv = uv * np.asarray(pixsize) * np.asarray(self._shape)
+        self._uv = jnp.asarray(uv)
+        self._sigma, self._width = sigma, width
+        self._w = None
+        if w is not None:
+            w = np.asarray(w, dtype=float)
+            n_w_planes = max(1, min(n_w_planes, len(np.unique(w))))
+            w_edges = np.linspace(w.min(), w.max() + 1e-12, n_w_planes + 1)
+            self._w_idx = jnp.asarray(
+                np.clip(np.digitize(w, w_edges) - 1, 0, n_w_planes - 1)
+            )
+            self._w_centers = 0.5 * (w_edges[:-1] + w_edges[1:])
+            ls = [np.arange(n) - n // 2 for n in self._shape]
+            if pixsize is None:
+                raise ValueError("w-correction requires `pixsize`")
+            lm = np.meshgrid(
+                *[l * p for l, p in zip(ls, np.atleast_1d(pixsize) * np.ones(2))],
+                indexing="ij",
+            )
+            n_term = np.sqrt(np.maximum(1.0 - lm[0] ** 2 - lm[1] ** 2, 0.0)) - 1.0
+            self._n_term = jnp.asarray(n_term)
+            self._w = w
+        super().__init__(
+            domain=ShapeWithDtype(self._shape, dtype),
+            target=ShapeWithDtype((uv.shape[0],), jnp.complex128 if
+                                  jnp.zeros((), float).dtype == jnp.float64
+                                  else jnp.complex64),
+        )
+
+    def __call__(self, image):
+        if self._w is None:
+            return nufft2(image, self._uv, sigma=self._sigma, width=self._width)
+        out = jnp.zeros((self._uv.shape[0],), dtype=jnp.complex128
+                        if image.dtype == jnp.float64 else jnp.complex64)
+        for p, wc in enumerate(self._w_centers):
+            screen = jnp.exp(-2j * np.pi * wc * self._n_term)
+            vis_p = nufft2(image * screen, self._uv, sigma=self._sigma,
+                           width=self._width)
+            out = jnp.where(self._w_idx == p, vis_p, out)
+        return out

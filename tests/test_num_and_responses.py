@@ -284,3 +284,63 @@ def test_fullcov_vi_gaussian_target(rng, key):
     np.testing.assert_allclose(np.asarray(params["mean"]), post_mean, atol=0.1)
     L = np.asarray(fc._cholesky(params))
     np.testing.assert_allclose(L @ L.T, post_cov, atol=0.1)
+
+
+# -- NUFFT -----------------------------------------------------------------
+
+def _direct_dft(img, coords):
+    shape = img.shape
+    grids = np.meshgrid(*[np.arange(n) - n // 2 for n in shape], indexing="ij")
+    return np.array([
+        np.sum(img * np.exp(-2j * np.pi * sum(
+            fj * g / n for fj, g, n in zip(f, grids, shape)
+        ))) for f in coords
+    ])
+
+
+@pmp("shape", [(32,), (16, 16)])
+def test_nufft2_matches_direct_dft(rng, shape):
+    from nifty_tpu.ops.nufft import nufft2
+
+    img = rng.normal(size=shape)
+    d = len(shape)
+    coords = rng.uniform(-min(shape) / 2, min(shape) / 2, size=(30, d))
+    v = np.asarray(nufft2(jnp.asarray(img), jnp.asarray(coords)))
+    ve = _direct_dft(img, coords)
+    assert np.abs(v - ve).max() / np.abs(ve).max() < 1e-3
+
+
+def test_nufft2_high_accuracy(rng):
+    from nifty_tpu.ops.nufft import nufft2
+
+    img = rng.normal(size=(16, 16))
+    coords = rng.uniform(-8, 8, size=(30, 2))
+    v = np.asarray(nufft2(jnp.asarray(img), jnp.asarray(coords), width=16))
+    ve = _direct_dft(img, coords)
+    assert np.abs(v - ve).max() / np.abs(ve).max() < 1e-6
+
+
+def test_nufft_adjointness(rng):
+    """<F x, v> == <x, F^H v> exactly (vjp-constructed adjoint; the
+    check_linear_operator pattern of the reference test suite)."""
+    from nifty_tpu.ops.nufft import nufft1, nufft2
+
+    img = jnp.asarray(rng.normal(size=(16, 16)))
+    coords = jnp.asarray(rng.uniform(-8, 8, size=(30, 2)))
+    vis = jnp.asarray(rng.normal(size=30) + 1j * rng.normal(size=30))
+    lhs = complex(jnp.vdot(nufft2(img, coords), vis))
+    rhs = complex(jnp.vdot(img.astype(complex), nufft1((16, 16), vis, coords)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+def test_radio_response_model(rng, key):
+    from nifty_tpu.ops.nufft import RadioResponse
+
+    shape = (16, 16)
+    uv = rng.uniform(-7, 7, size=(25, 2))
+    rr = RadioResponse(shape, uv)
+    img = jnp.asarray(rng.normal(size=shape))
+    vis = rr(img)
+    assert vis.shape == (25,)
+    ve = _direct_dft(np.asarray(img), uv)
+    assert np.abs(np.asarray(vis) - ve).max() / np.abs(ve).max() < 1e-3
