@@ -63,6 +63,7 @@ from .models import (
     GaussMarkovProcess,
     IntegratedWienerProcess,
     OrnsteinUhlenbeckProcess,
+    SimpleCorrelatedField,
     WienerProcess,
     matern_amplitude,
     non_parametric_amplitude,

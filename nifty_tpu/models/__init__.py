@@ -1,5 +1,6 @@
 from .correlated_field import (
     CorrelatedFieldMaker,
+    SimpleCorrelatedField,
     make_grid,
     matern_amplitude,
     non_parametric_amplitude,

@@ -32,6 +32,7 @@ from collections import namedtuple
 from functools import partial
 from typing import Callable, Mapping, Optional, Tuple, Union
 
+import jax
 import numpy as np
 from jax import numpy as jnp
 
@@ -237,9 +238,11 @@ def non_parametric_amplitude(
             raise ValueError(f"invalid kind {kind!r}")
         return amp.at[0].set(totvol)
 
-    return Model(
+    m = Model(
         amplitude, domain=dict(ptree), init=partial(random_like, primals=ptree)
     )
+    m.fluctuation_amplitude = fluctuations
+    return m
 
 
 def matern_amplitude(
@@ -288,9 +291,11 @@ def matern_amplitude(
             raise ValueError(f"invalid kind {kind!r}")
         return spectrum
 
-    return Model(
+    m = Model(
         amplitude, domain=dict(ptree), init=partial(random_like, primals=ptree)
     )
+    m.fluctuation_amplitude = scale
+    return m
 
 
 class CorrelatedFieldMaker:
@@ -422,7 +427,116 @@ class CorrelatedFieldMaker:
         amp = self.amplitude
         return lambda p: amp(p) ** 2
 
-    def finalize(self, hartley_fn: Optional[Callable] = None) -> Model:
+    # -- a-priori moment statistics (parity:
+    # src/library/correlated_fields.py:1021,1033,1050,957) ---------------
+
+    def fluctuation_amplitudes(self) -> Tuple[Callable, ...]:
+        return tuple(a.fluctuation_amplitude for a in self._fluctuations)
+
+    def total_fluctuation(self) -> Callable:
+        """A-priori total fluctuation of the multi-space field (callable
+        on latent positions)."""
+        if not self._fluctuations:
+            raise NotImplementedError
+        if len(self._fluctuations) == 1:
+            return self.average_fluctuation(0)
+        fls = self.fluctuation_amplitudes()
+        azm = self.azm
+
+        def total(p):
+            q = 1.0
+            for fl in fls:
+                q = q * (1.0 + (fl(p) / azm(p)) ** 2)
+            return jnp.sqrt(q - 1.0) * azm(p)
+
+        return total
+
+    def average_fluctuation(self, space: int) -> Callable:
+        """Fluctuations of the field averaged over the other sub-spaces."""
+        fls = self.fluctuation_amplitudes()
+        if space >= len(fls):
+            raise ValueError(f"invalid space {space!r}")
+        return fls[0] if len(fls) == 1 else fls[space]
+
+    def slice_fluctuation(self, space: int) -> Callable:
+        """Fluctuations of a single slice along sub-space ``space``."""
+        fls = self.fluctuation_amplitudes()
+        if space >= len(fls):
+            raise ValueError(f"invalid space {space!r}")
+        if len(fls) == 1:
+            return self.average_fluctuation(0)
+        azm = self.azm
+
+        def slice_fl(p):
+            q = 1.0
+            for j, fl in enumerate(fls):
+                r = (fl(p) / azm(p)) ** 2
+                q = q * (r if j == space else 1.0 + r)
+            return jnp.sqrt(q) * azm(p)
+
+        return slice_fl
+
+    def moment_slice_to_average(self, fluctuations_slice_mean: float,
+                                key=None, nsamples: int = 1000) -> float:
+        """Translate single-space slice fluctuations into the average
+        fluctuations of a multi-space setup (MC estimate)."""
+        import jax as _jax
+
+        fluctuations_slice_mean = float(fluctuations_slice_mean)
+        if fluctuations_slice_mean <= 0:
+            raise ValueError("fluctuations_slice_mean must be positive")
+        key = _jax.random.PRNGKey(42) if key is None else key
+        scm = np.ones(nsamples)
+        for a in self._fluctuations:
+            fl = a.fluctuation_amplitude
+            dom = {**fl.domain, self._prefix + "zeromode":
+                   ShapeWithDtype(())}
+            keys = _jax.random.split(key, nsamples)
+            key = keys[0]
+
+            def one(k):
+                p = random_like(k, dom)
+                return fl(p) / self.azm(p)
+
+            vals = np.asarray(_jax.vmap(one)(keys))
+            scm = scm * (vals ** 2 + 1.0)
+        return fluctuations_slice_mean / float(np.mean(np.sqrt(scm)))
+
+    # -- realized statistics (parity: correlated_fields.py:1070-1115) ----
+
+    @staticmethod
+    def total_fluctuation_realized(samples) -> float:
+        """Spatial-std statistic over stacked field samples (N, *spatial)."""
+        s = jnp.asarray(samples)
+        ax = tuple(range(1, s.ndim))
+        res = (s - s.mean(axis=ax, keepdims=True)) ** 2
+        return float(jnp.sqrt(res.mean()))
+
+    @staticmethod
+    def average_fluctuation_realized(samples, sub_axes, space: int) -> float:
+        """Fluctuations of samples averaged over the other sub-spaces;
+        ``sub_axes`` are the per-subdomain axis tuples (sample axis 0
+        excluded)."""
+        s = jnp.asarray(samples)
+        other = tuple(
+            a + 1 for j, axes in enumerate(sub_axes) if j != space
+            for a in axes
+        )
+        r = s.mean(axis=other) if other else s
+        ax = tuple(range(1, r.ndim))
+        res = (r - r.mean(axis=ax, keepdims=True)) ** 2
+        return float(jnp.sqrt(res.mean()))
+
+    @staticmethod
+    def slice_fluctuation_realized(samples, sub_axes, space: int) -> float:
+        """Variability within slices along sub-space ``space``."""
+        s = jnp.asarray(samples)
+        space_axes = tuple(a + 1 for a in sub_axes[space])
+        res = s ** 2 - s.mean(axis=space_axes, keepdims=True) ** 2
+        return float(jnp.sqrt(res.mean()))
+
+    def finalize(self, hartley_fn: Optional[Callable] = None,
+                 total_N: int = 0, dofdex=None) -> Model:
         """Compose and return the correlated field as a :class:`Model`.
 
         Parameters
@@ -432,6 +546,12 @@ class CorrelatedFieldMaker:
             transform (:func:`nifty_tpu.ops.distributed_fft
             .distributed_hartley`) for fields whose axes live on a device
             mesh.  Defaults to the local rfft-based transform.
+        total_N : int
+            Number of batched fields sharing this model's hyperparameters
+            (0 = single field).
+        dofdex : sequence of int, optional
+            Parameter-set index per batch entry (defaults to independent
+            sets, ``range(total_N)``); ``total_N * [0]`` shares one set.
         """
         excitation_shape = ()
         sub_axes = []
@@ -487,6 +607,46 @@ class CorrelatedFieldMaker:
             cf_h = azm(p) * ea * p[pfx]
             return offset_mean + outer_harmonic_transform(cf_h)
 
+        if total_N > 0:
+            # Batched fields (parity: classic `total_N`/`dofdex`,
+            # src/library/correlated_fields.py:434,447): `total_N` fields
+            # share `n_sets` parameter sets (`dofdex[b]` selects the set
+            # of batch entry b); excitations are per-field.  TPU-first:
+            # one vmap over the batch with per-set parameters gathered —
+            # all batch members run in a single fused program.
+            dofdex = list(range(total_N)) if dofdex is None else list(dofdex)
+            if len(dofdex) != total_N:
+                raise ValueError("len(dofdex) must equal total_N")
+            n_sets = max(dofdex) + 1
+            dofdex_arr = jnp.asarray(np.asarray(dofdex, dtype=np.int32))
+            param_keys = [k for k in self._parameter_tree if k != pfx]
+            batched_tree = {
+                k: ShapeWithDtype((n_sets,) + tuple(v.shape), v.dtype)
+                for k, v in self._parameter_tree.items() if k != pfx
+            }
+            batched_tree[pfx] = ShapeWithDtype(
+                (total_N,) + excitation_shape,
+                self._parameter_tree[pfx].dtype,
+            )
+
+            def field_one(pset, xi):
+                ea = outer_amplitude(pset)
+                cf_h = azm(pset) * ea * xi
+                return offset_mean + outer_harmonic_transform(cf_h)
+
+            def batched_field(p):
+                psets = {k: p[k][dofdex_arr] for k in param_keys}
+                return jax.vmap(field_one)(psets, p[pfx])
+
+            init = {
+                k: partial(random_like, primals=v)
+                for k, v in batched_tree.items()
+            }
+            cf = Model(batched_field, domain=dict(batched_tree), init=init)
+            cf.normalized_amplitudes = namps
+            cf.target_grids = grids
+            return cf
+
         init = {
             k: partial(random_like, primals=v)
             for k, v in self._parameter_tree.items()
@@ -497,3 +657,34 @@ class CorrelatedFieldMaker:
         cf.normalized_amplitudes = namps
         cf.target_grids = grids
         return cf
+
+
+def SimpleCorrelatedField(
+    shape,
+    distances,
+    *,
+    offset_mean=0.0,
+    offset_std=(1e-1, 1e-2),
+    fluctuations=(1.0, 0.5),
+    loglogavgslope=(-3.0, 0.5),
+    flexibility=(1.0, 0.5),
+    asperity=None,
+    prefix: str = "cf",
+    harmonic_type: str = "fourier",
+    hartley_fn=None,
+) -> Model:
+    """Single-subdomain convenience correlated field.
+
+    Parity: ``src/library/correlated_fields_simple.py:38``.
+    """
+    cfm = CorrelatedFieldMaker(prefix)
+    cfm.set_amplitude_total_offset(offset_mean=offset_mean,
+                                   offset_std=offset_std)
+    cfm.add_fluctuations(
+        shape, distances, fluctuations=fluctuations,
+        loglogavgslope=loglogavgslope, flexibility=flexibility,
+        asperity=asperity, harmonic_type=harmonic_type,
+    )
+    cf = cfm.finalize(hartley_fn=hartley_fn)
+    cf.maker = cfm
+    return cf
