@@ -60,6 +60,9 @@ from .minisanity import minisanity, reduced_residual_stats
 from .model import Initializer, LazyModel, Model, WrappedCall, wrap, wrap_left
 from .models import (
     CorrelatedFieldMaker,
+    adjust_variances,
+    dynamic_lightcone_operator,
+    dynamic_operator,
     GaussMarkovProcess,
     IntegratedWienerProcess,
     OrnsteinUhlenbeckProcess,

@@ -310,6 +310,7 @@ class CorrelatedFieldMaker:
     def __init__(self, prefix: str):
         self._azm = None
         self._offset_mean = None
+        self._fluct_logparams = []
         self._fluctuations = []
         self._target_grids = []
         self._parameter_tree = {}
@@ -329,6 +330,12 @@ class CorrelatedFieldMaker:
     ):
         """Add a non-parametric correlation structure on a new subgrid."""
         grid = make_grid(shape, distances, harmonic_type)
+        from ..stats import lognormal_moments
+
+        self._fluct_logparams.append(
+            lognormal_moments(*fluctuations)
+            if isinstance(fluctuations, (tuple, list)) else None
+        )
         npa = non_parametric_amplitude(
             grid=grid,
             fluctuations=_as_prior(fluctuations, lognormal_prior, "fluctuations"),
@@ -362,6 +369,9 @@ class CorrelatedFieldMaker:
     ):
         """Add a Matérn-kernel correlation structure on a new subgrid."""
         grid = make_grid(shape, distances, harmonic_type)
+        self._fluct_logparams.append(
+            None  # matern `scale` has its own parametrization
+        )
         ma = matern_amplitude(
             grid=grid,
             scale=_as_prior(scale, lognormal_prior, "scale"),
@@ -379,9 +389,13 @@ class CorrelatedFieldMaker:
         """Set the global offset mean and the zero-mode std prior."""
         self._offset_mean = offset_mean
         zm = offset_std
+        self._offset_std_logparams = None
         if not callable(zm):
             if zm is None or len(zm) != 2:
                 raise TypeError(f"invalid `offset_std` {zm!r}")
+            from ..stats import lognormal_moments
+
+            self._offset_std_logparams = lognormal_moments(*zm)
             zm = lognormal_prior(*zm)
         self._azm = wrap(zm, self._prefix + "zeromode")
         self._parameter_tree[self._prefix + "zeromode"] = ShapeWithDtype(())
@@ -688,3 +702,35 @@ def SimpleCorrelatedField(
     cf = cfm.finalize(hartley_fn=hartley_fn)
     cf.maker = cfm
     return cf
+
+
+def adjust_variances(position: dict, maker: CorrelatedFieldMaker,
+                     space: int = 0) -> dict:
+    """Rebalance the xi/amplitude split of a correlated-field position.
+
+    Rescales the non-zero-mode harmonic excitations to unit sample
+    variance and absorbs the factor into the ``fluctuations`` latent
+    (exact for lognormal fluctuation priors), leaving the realized field
+    unchanged — the capability of the classic ``adjust_variances``
+    (``src/library/adjust_variances.py:26,81``) without an inner
+    optimization loop.
+    """
+    lp = maker._fluct_logparams[space]
+    if lp is None:
+        raise ValueError(
+            "adjust_variances requires (mean, std) `fluctuations`"
+        )
+    xi_key = maker._prefix + "xi"
+    npa = maker._fluctuations[space]
+    flu_key = next(k for k in npa.domain if k.endswith("fluctuations"))
+    pos = dict(position)
+    xi = pos[xi_key]
+    fct = jnp.sqrt(jnp.mean(xi ** 2))
+    zero_idx = (0,) * jnp.ndim(xi)
+    xi_new = xi / fct
+    xi_new = xi_new.at[zero_idx].set(xi[zero_idx])  # zero mode untouched
+    pos[xi_key] = xi_new
+    # flu = exp(mu + sigma z); flu_new = flu * fct  =>  z += log(fct)/sigma
+    _, log_std = lp
+    pos[flu_key] = pos[flu_key] + jnp.log(fct) / log_std
+    return pos

@@ -122,3 +122,54 @@ def test_vi_point_estimates(key):
     # the point-estimated parameter has zero residual in all samples
     res = np.asarray(samples._samples["cfzeromode"])
     assert np.all(res == 0.0)
+
+
+def test_adjust_variances_invariance(key):
+    from nifty_tpu.models.correlated_field import adjust_variances
+
+    cfm = jft.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=0.3, offset_std=(1.0, 0.3))
+    cfm.add_fluctuations((16, 16), 1 / 16, (1.0, 0.5), (-2.0, 0.5))
+    cf = cfm.finalize()
+    p = dict(cf.init(key))
+    p["cfxi"] = p["cfxi"] * 2.7
+    p2 = adjust_variances(p, cfm)
+    np.testing.assert_allclose(np.asarray(cf(p)), np.asarray(cf(p2)),
+                               atol=1e-12)
+    assert abs(float(jnp.sqrt(jnp.mean(p2["cfxi"] ** 2))) - 1.0) < 0.1
+
+
+def test_batched_correlated_field(key):
+    cfm = jft.CorrelatedFieldMaker("b")
+    cfm.set_amplitude_total_offset(offset_mean=0.0, offset_std=(1e-1, 1e-2))
+    cfm.add_fluctuations((8, 8), 1 / 8, (1.0, 0.5), (-2.0, 0.5))
+    cf = cfm.finalize(total_N=3, dofdex=[0, 0, 1])
+    assert cf.domain["bxi"].shape == (3, 8, 8)
+    assert cf.domain["bzeromode"].shape == (2,)
+    out = cf(cf.init(key))
+    assert out.shape == (3, 8, 8)
+    # entries 0 and 1 share parameters but have different excitations
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_dynamics_models(key):
+    from nifty_tpu.models import dynamic_lightcone_operator, dynamic_operator
+    from nifty_tpu.ops.harmonic import hartley
+
+    m, aux = dynamic_operator(shape=(32, 16), distances=(0.1, 0.2),
+                              sm_s0=1.0, sm_x0=0.5, key="dyn",
+                              harmonic_padding=8)
+    G = m(m.init(key))
+    assert G.shape == (32, 16) and bool(jnp.all(jnp.isfinite(G)))
+    # causality: the time-domain kernel vanishes for t < 0
+    g = np.asarray(hartley(G)) / G.size
+    assert np.abs(g[17:]).max() < 1e-12 * np.abs(g).max() + 1e-14
+
+    m2, aux2 = dynamic_lightcone_operator(
+        shape=(32, 16), distances=(0.1, 0.2), sm_s0=1.0, sm_x0=0.5,
+        key="d", lightcone_key="c", sigc=1.0, quant=2.0,
+    )
+    p2 = m2.init(jax.random.PRNGKey(1))
+    g2 = jax.grad(lambda q: jnp.sum(m2(q) ** 2))(p2)
+    assert bool(jnp.all(jnp.isfinite(g2["c"])))
+    assert "lightspeed" in aux2
