@@ -74,7 +74,9 @@ from .models import (
 from .optimize_kl import OptimizeVI, OptimizeVIState, optimize_kl
 from .plot import Plot
 from .prior import (
+    GammaPrior,
     InvGammaPrior,
+    LogInvGammaPrior,
     LaplacePrior,
     LogNormalPrior,
     NormalPrior,
@@ -108,7 +110,9 @@ from .sample_io import (
     write_fits,
 )
 from .solvers import newton_cg, static_cg
+from .solvers.lbfgs import lbfgs
 from .solvers.trust_ncg import trust_ncg
+from .sugar import calculate_position, density_estimator
 from .variational import FullCovarianceVI, MeanFieldVI
 from .wiener_filter import (
     draw_posterior_sample,

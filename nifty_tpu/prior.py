@@ -63,3 +63,27 @@ class InvGammaPrior(WrappedCall):
         super().__init__(
             invgamma_prior(a, scale, loc, step), white_init=True, **kwargs
         )
+
+
+class GammaPrior(WrappedCall):
+    """Standard normal → Gamma (tabulated transform)."""
+
+    def __init__(self, a, scale=1.0, loc=0.0, step=1e-2, **kwargs):
+        from .stats import gamma_prior
+
+        self.a, self.scale, self.loc = a, scale, loc
+        super().__init__(
+            gamma_prior(a, scale, loc, step), white_init=True, **kwargs
+        )
+
+
+class LogInvGammaPrior(WrappedCall):
+    """Standard normal → log inverse gamma (tabulated transform)."""
+
+    def __init__(self, a, scale, loc=0.0, step=1e-2, **kwargs):
+        from .stats import log_invgamma_prior
+
+        self.a, self.scale, self.loc = a, scale, loc
+        super().__init__(
+            log_invgamma_prior(a, scale, loc, step), white_init=True, **kwargs
+        )

@@ -1,3 +1,5 @@
 from . import cg
 from .cg import CGResults, cg as cg_solve, static_cg
 from .newton_cg import OptimizeResults, _newton_cg, minimize, newton_cg
+from .lbfgs import _lbfgs, lbfgs
+from .trust_ncg import _trust_ncg, cg_steihaug_subproblem, trust_ncg

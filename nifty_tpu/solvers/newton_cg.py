@@ -289,4 +289,8 @@ def minimize(
         from .trust_ncg import _trust_ncg
 
         return _trust_ncg(fun, x0, **options)
+    if method in ("l-bfgs", "lbfgs", "l-bfgs-b"):
+        from .lbfgs import _lbfgs
+
+        return _lbfgs(fun, x0, **options)
     raise ValueError(f"unknown method {method!r}")

@@ -197,3 +197,51 @@ def invgamma_invprior(a, scale, loc=0.0, step=1e-2) -> Callable:
         return inv(y)
 
     return invgamma_to_standard
+
+
+# -- gamma / log-inverse-gamma --------------------------------------------
+
+def gamma_prior(a, scale=1.0, loc=0.0, step=1e-2) -> Callable:
+    """Standard normal → Gamma(a, scale) via tabulated ppf∘cdf.
+
+    Parity: classic ``GammaOperator`` (``src/library/
+    special_distributions.py:216``).
+    """
+    from scipy.stats import gamma, norm as snorm
+
+    if np.ndim(a) != 0 or np.ndim(loc) != 0:
+        raise TypeError("shape `a` and location `loc` must be scalar")
+    if loc == 0.0:
+        s2g = lambda x: gamma.ppf(snorm.cdf(x), a=a)
+    elif np.ndim(scale) == 0:
+        s2g = lambda x: gamma.ppf(snorm.cdf(x), a=a, loc=loc, scale=scale)
+    else:
+        raise TypeError("`scale` may only be array-like for `loc == 0.`")
+    interp = interpolator(
+        s2g, -8.2, 8.2, step=step, table_func=jnp.log, inv_table_func=jnp.exp
+    )
+
+    def standard_to_gamma(x):
+        if loc == 0.0:
+            return interp(x) * scale
+        return interp(x)
+
+    return standard_to_gamma
+
+
+def log_invgamma_prior(a, scale, loc=0.0, step=1e-2) -> Callable:
+    """Standard normal → log of an inverse-gamma variable.
+
+    Parity: classic ``LogInverseGammaOperator``
+    (``src/library/special_distributions.py:305``).
+    """
+    from scipy.stats import invgamma, norm as snorm
+
+    s2l = lambda x: np.log(invgamma.ppf(snorm.cdf(x), a=a, loc=loc,
+                                        scale=1.0))
+    interp = interpolator(s2l, -8.2, 8.2, step=step)
+
+    def standard_to_log_invgamma(x):
+        return interp(x) + jnp.log(scale)
+
+    return standard_to_log_invgamma

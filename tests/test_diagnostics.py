@@ -234,3 +234,37 @@ seed = 3
     cfg = jft.OptimizeKLConfig.from_file(fn)
     samples, state = cfg.optimize_kl(lh, jft.random_like(key, lh.domain))
     assert state.nit == 2 and len(samples) == 4
+
+
+def test_gamma_priors_statistics(key):
+    from nifty_tpu.stats import gamma_prior, log_invgamma_prior
+
+    x = jax.random.normal(key, (20000,))
+    g = gamma_prior(3.0, 2.0)(x)
+    assert abs(float(g.mean()) - 6.0) < 0.2
+    assert abs(float(g.var()) - 12.0) < 1.0
+    li = log_invgamma_prior(3.0, 2.0)(x)
+    assert bool(jnp.all(jnp.isfinite(li)))
+    # log-invgamma == log of invgamma draws
+    from nifty_tpu.stats import invgamma_prior
+
+    ig = invgamma_prior(3.0, 2.0)(x[:100])
+    np.testing.assert_allclose(np.asarray(li[:100]),
+                               np.log(np.asarray(ig)), atol=1e-3)
+
+
+def test_calculate_position(key):
+    cf = jft.SimpleCorrelatedField((16, 16), 1 / 16, flexibility=None)
+    target = cf(cf.init(key))
+    pos = jft.calculate_position(cf, target)
+    rel = float(jnp.max(jnp.abs(cf(pos) - target))) / float(
+        jnp.max(jnp.abs(target))
+    )
+    assert rel < 0.05
+
+
+def test_density_estimator(key):
+    dm, cfm = jft.density_estimator((16, 16), 1 / 16)
+    out = dm(dm.init(key))
+    assert out.shape == (16, 16)
+    assert bool(jnp.all(out > 0))

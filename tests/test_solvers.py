@@ -138,3 +138,33 @@ def test_minimize_dispatch():
 def test_newton_cg_wrapper():
     x = newton_cg(_rosen, jnp.zeros(5), maxiter=300, absdelta=1e-14)
     np.testing.assert_allclose(x, np.ones(5), rtol=1e-5, atol=1e-5)
+
+
+def test_lbfgs_rosenbrock():
+    from nifty_tpu.solvers.lbfgs import _lbfgs
+
+    res = _lbfgs(_rosen, jnp.zeros(6), maxiter=500, gtol=1e-9)
+    assert int(res.status) == 0
+    np.testing.assert_allclose(res.x, np.ones(6), rtol=1e-6, atol=1e-6)
+
+
+def test_lbfgs_tree_and_vmap():
+    from nifty_tpu.solvers.lbfgs import _lbfgs
+
+    def f(p):
+        return _rosen(p["x"]) + jnp.sum((p["y"] - 3.0) ** 2)
+
+    res = _lbfgs(f, {"x": jnp.zeros(4), "y": jnp.zeros(3)},
+                 maxiter=500, gtol=1e-9)
+    np.testing.assert_allclose(res.x["x"], np.ones(4), atol=1e-6)
+    xs = jnp.stack([jnp.zeros(6), 2.0 * jnp.ones(6)])
+    sol = jax.jit(jax.vmap(
+        lambda x: _lbfgs(_rosen, x, maxiter=500, gtol=1e-9).x
+    ))(xs)
+    np.testing.assert_allclose(sol, np.ones((2, 6)), atol=1e-6)
+
+
+def test_minimize_lbfgs_dispatch():
+    res = minimize(_rosen, jnp.zeros(5), method="l-bfgs",
+                   options=dict(maxiter=500, gtol=1e-9))
+    np.testing.assert_allclose(res.x, np.ones(5), atol=1e-6)
