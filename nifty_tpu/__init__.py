@@ -57,6 +57,7 @@ from .hmc import generate_hmc_acc_rej, generate_nuts_tree
 from .hmc_oo import Chain, HMCChain, NUTSChain
 from .logger import logger
 from .minisanity import minisanity, reduced_residual_stats
+from .misc import hvp, interpolate
 from .model import Initializer, LazyModel, Model, WrappedCall, wrap, wrap_left
 from .models import (
     CorrelatedFieldMaker,
@@ -105,6 +106,8 @@ from .sample_io import (
     load_samples,
     read_fits,
     save_samples,
+    save_checkpoint_orbax,
+    load_checkpoint_orbax,
     save_samples_to_fits,
     save_samples_to_hdf5,
     write_fits,

@@ -1,0 +1,38 @@
+"""Small numerical helpers (parity: ``src/re/misc.py``)."""
+
+from __future__ import annotations
+
+from functools import wraps
+from typing import Callable, Optional
+
+import jax
+from jax import numpy as jnp
+
+
+def hvp(f: Callable, primals, tangents):
+    """Hessian-vector product of scalar ``f`` (forward-over-reverse).
+
+    Parity: ``src/re/misc.py:12``.
+    """
+    return jax.jvp(jax.grad(f), primals, tangents)[1]
+
+
+def interpolate(xmin=-7.0, xmax=7.0, N=14000) -> Callable:
+    """Decorator replacing a scalar function with a linear-interpolation
+    lookup of itself (useful for expensive special functions inside hot
+    jitted code).  Parity: ``src/re/misc.py:78``.
+    """
+
+    def decorator(f):
+        from functools import wraps
+
+        x = jnp.linspace(xmin, xmax, N)
+        y = f(x)
+
+        @wraps(f)
+        def wrapper(t):
+            return jnp.interp(t, x, y)
+
+        return wrapper
+
+    return decorator

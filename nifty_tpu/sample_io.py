@@ -135,3 +135,34 @@ def save_samples_to_fits(samples: Samples, file_name_base: str,
         for i, o in enumerate(outs):
             write_fits(f"{file_name_base}.sample_{i}.fits", o,
                        overwrite=overwrite)
+
+
+def save_checkpoint_orbax(path: str, samples: Samples, state=None):
+    """Multi-host-safe array checkpoint via orbax/tensorstore.
+
+    The SURVEY-recommended replacement for pickle checkpoints on pod
+    slices: every host writes its shards; restore works on any mesh.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = {"samples": {
+        "pos": samples.pos, "samples": samples._samples,
+        "keys": samples.keys,
+    }}
+    if state is not None:
+        payload["nit"] = np.asarray(getattr(state, "nit", 0))
+        payload["key"] = np.asarray(getattr(state, "key", None))
+    ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def load_checkpoint_orbax(path: str):
+    """Restore ``(samples, aux_dict)`` from an orbax checkpoint."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path))
+    s = payload["samples"]
+    samples = Samples(pos=s["pos"], samples=s["samples"], keys=s.get("keys"))
+    aux = {k: v for k, v in payload.items() if k != "samples"}
+    return samples, aux
