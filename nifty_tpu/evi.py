@@ -81,9 +81,6 @@ def draw_linear_residual(
         point_estimates=point_estimates, primals=pos
     )
 
-    def ham_metric(primals, tangents, **kw):
-        return tree_add(lh.metric(primals, tangents, **kw), tangents)
-
     cg_kwargs = dict(cg_kwargs or {})
 
     subkey_nll, subkey_prr = random.split(key, 2)
@@ -95,8 +92,12 @@ def draw_linear_residual(
     smpl = tree_add(nll_smpl, prr_smpl)
     info = jnp.zeros(())
     if from_inverse:
+        # Hoist the forward linearization out of the CG loop: the metric
+        # matvec at fixed primals becomes FFT+pointwise only (amplitude
+        # gathers etc. are traced once and turn into loop constants).
+        met = lh.metric_at(p_liquid)
         smpl, info = cg(
-            Partial(ham_metric, p_liquid),
+            lambda t: tree_add(met(t), t),
             smpl,
             x0=prr_inv_metric_smpl,
             name=cg_name,

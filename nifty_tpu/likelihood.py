@@ -149,6 +149,17 @@ class Likelihood(LazyModel):
             primals, self.right_sqrt_metric(primals, tangents, **kw), **kw
         )
 
+    def metric_at(self, primals, **kw) -> Callable:
+        """Return the metric matvec with all primals-dependent work hoisted.
+
+        Solvers that apply the metric many times at a fixed expansion
+        point (CG inside MGVI sampling / Newton) should use this: the
+        forward linearization (and with it e.g. amplitude gathers and
+        other primals-only computations) is traced *once* and becomes a
+        loop constant instead of being recomputed per matvec.
+        """
+        return lambda tangents: self.metric(primals, tangents, **kw)
+
     def left_sqrt_metric(self, primals, tangents, **kw):
         _, bwd = jax.vjp(Partial(self.transformation, **kw), primals)
         return _functional_conj(bwd)(tangents)[0]
@@ -243,6 +254,10 @@ class LikelihoodPartial(Likelihood):
         )
         return self.remove(full)
 
+    def metric_at(self, primals, **kw):
+        inner = self.likelihood.metric_at(self.insert(primals), **kw)
+        return lambda t: self.remove(inner(self.insert_zeros(t)))
+
     def left_sqrt_metric(self, primals, tangents, **kw):
         full = self.likelihood.left_sqrt_metric(self.insert(primals), tangents, **kw)
         return self.remove(full)
@@ -311,6 +326,17 @@ class LikelihoodWithModel(Likelihood):
         y, fwd = jax.linearize(Partial(self.forward, **kr), primals)
         bwd = _functional_conj(jax.linear_transpose(fwd, primals))
         return bwd(self.likelihood.metric(y, fwd(tangents), **kl))[0]
+
+    def metric_at(self, primals, **kw) -> Callable:
+        kl, kr = self._split_kwargs(**kw)
+        y, fwd = jax.linearize(Partial(self.forward, **kr), primals)
+        bwd = _functional_conj(jax.linear_transpose(fwd, primals))
+        inner = self.likelihood.metric_at(y, **kl)
+
+        def matvec(tangents):
+            return bwd(inner(fwd(tangents)))[0]
+
+        return matvec
 
     def left_sqrt_metric(self, primals, tangents, **kw):
         kl, kr = self._split_kwargs(**kw)
@@ -393,6 +419,11 @@ class LikelihoodSum(Likelihood):
         lm = self.left_likelihood.metric(primals, tangents, **kw)
         rm = self.right_likelihood.metric(primals, tangents, **kw)
         return tree_map(jnp.add, lm, rm)
+
+    def metric_at(self, primals, **kw):
+        lm = self.left_likelihood.metric_at(primals, **kw)
+        rm = self.right_likelihood.metric_at(primals, **kw)
+        return lambda t: tree_map(jnp.add, lm(t), rm(t))
 
     def left_sqrt_metric(self, primals, tangents, **kw):
         ll = self.left_likelihood.left_sqrt_metric(

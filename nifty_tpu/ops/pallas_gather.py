@@ -1,0 +1,181 @@
+"""Pallas TPU kernel for small-table gathers (power distribution).
+
+The correlated field distributes a ~O(100..1000)-bin amplitude spectrum
+onto every harmonic mode: ``amp_full = amp[dist]`` with a *static* index
+map.  XLA lowers this to a slow general gather on TPU (measured ~7 ms for
+a 1024² grid vs ~0.02 ms for the FFT it feeds!).  This kernel computes the
+same gather as a blocked one-hot compare-and-reduce entirely in VMEM —
+O(nbin) VPU ops per element but no HBM-indirect addressing — and its
+custom vjp computes the exact adjoint (per-bin segment sums) with the
+transposed one-hot reduction, accumulated across the sequential TPU grid.
+
+Falls back to plain indexing off-TPU (CPU tests run the XLA gather).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax import numpy as jnp
+
+_BLOCK_ROWS = 16  # block = (_BLOCK_ROWS, 128) indices per grid step
+
+
+def _pad_to(x, mult, axis=0, value=0):
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _gather_kernel(idx_ref, table_ref, out_ref):
+    from jax import lax
+
+    ids = idx_ref[:]  # (BR, 128) int32
+    tbl = table_ref[:]  # (npad,) f32
+    npad = tbl.shape[0]
+    m = ids.shape[0] * ids.shape[1]
+    # 2-D one-hot (Mosaic-friendly): (M, npad) compare + MXU matvec.
+    bins = lax.broadcasted_iota(jnp.int32, (m, npad), 1)
+    oh = (ids.reshape(m, 1) == bins).astype(tbl.dtype)
+    out_ref[:] = jax.lax.dot_general(
+        oh, tbl.reshape(npad, 1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(ids.shape)
+
+
+def _scatter_kernel(idx_ref, cot_ref, out_ref):
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    ids = idx_ref[:]
+    cot = cot_ref[:]
+    npad = out_ref.shape[0]
+    m = ids.shape[0] * ids.shape[1]
+    bins = lax.broadcasted_iota(jnp.int32, (m, npad), 1)
+    oh = (ids.reshape(m, 1) == bins).astype(cot.dtype)
+    partial_sum = jax.lax.dot_general(
+        cot.reshape(1, m), oh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(npad)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += partial_sum
+
+
+def _pallas_gather_flat(table_pad, idx_flat_pad):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = idx_flat_pad.shape[0]
+    rows = n // 128
+    grid = rows // _BLOCK_ROWS
+    idx2 = idx_flat_pad.reshape(rows, 128)
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((table_pad.shape[0],), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_ROWS, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), table_pad.dtype),
+    )(idx2, table_pad)
+    return out.reshape(-1)
+
+
+def _pallas_scatter_flat(cot_flat_pad, idx_flat_pad, npad, dtype):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = idx_flat_pad.shape[0]
+    rows = n // 128
+    grid = rows // _BLOCK_ROWS
+    idx2 = idx_flat_pad.reshape(rows, 128)
+    cot2 = cot_flat_pad.reshape(rows, 128)
+    out = pl.pallas_call(
+        _scatter_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_ROWS, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((npad,), lambda i: (0,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad,), dtype),
+    )(idx2, cot2)
+    return out
+
+
+def _on_tpu():
+    try:
+        return jax.default_backend() in ("tpu",)
+    except Exception:
+        return False
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bin_gather(table, idx, nbins: int):
+    """``table[idx]`` for a small 1-D table with a fast TPU path.
+
+    ``idx`` may have any shape; ``nbins`` must bound the table length
+    statically.  The vjp w.r.t. ``table`` is the exact per-bin segment
+    sum.
+    """
+    return _bin_gather_impl(table, idx, nbins)
+
+
+def _bin_gather_impl(table, idx, nbins):
+    if not _on_tpu():
+        return table[idx]
+    shape = idx.shape
+    table_pad = _pad_to(table, 128)
+    idx_flat = idx.reshape(-1).astype(jnp.int32)
+    n = idx_flat.shape[0]
+    block = _BLOCK_ROWS * 128
+    if n % block != 0:
+        idx_flat = _pad_to(idx_flat, block, value=0)
+    out = _pallas_gather_flat(table_pad, idx_flat)
+    return out[:n].reshape(shape)
+
+
+def _bin_gather_fwd(table, idx, nbins):
+    return _bin_gather_impl(table, idx, nbins), (idx, table.shape[0], table.dtype)
+
+
+def _bin_gather_bwd(nbins, res, cot):
+    idx, ntab, dtype = res
+    if not _on_tpu():
+        g = jax.ops.segment_sum(
+            cot.reshape(-1), idx.reshape(-1), num_segments=ntab
+        )
+        return (g.astype(dtype), None)
+    npad = int(-(-ntab // 128) * 128)
+    idx_flat = idx.reshape(-1).astype(jnp.int32)
+    cot_flat = cot.reshape(-1).astype(jnp.float32)
+    n = idx_flat.shape[0]
+    block = _BLOCK_ROWS * 128
+    if n % block != 0:
+        # pad cotangent with zeros and indices with an out-of-range bin
+        idx_flat = _pad_to(idx_flat, block, value=npad - 1)
+        cot_flat = _pad_to(cot_flat, block, value=0)
+    g = _pallas_scatter_flat(cot_flat, idx_flat, npad, jnp.float32)
+    return (g[:ntab].astype(dtype), None)
+
+
+bin_gather.defvjp(_bin_gather_fwd, _bin_gather_bwd)

@@ -101,6 +101,7 @@ def _newton_cg(
     cg: Callable = _static_cg,
     cg_kwargs: Optional[dict] = None,
     custom_gradnorm: Optional[Callable] = None,
+    linearize_hessp: bool = True,
     **_ignored,
 ) -> OptimizeResults:
     norm_ord = 1 if norm_ord is None else norm_ord
@@ -150,8 +151,16 @@ def _newton_cg(
         )
         mag_g = tree_norm(g, ord=cg_kwargs.get("norm_ord", 1))
         cg_resnorm = jnp.minimum(0.5, jnp.sqrt(mag_g)) * mag_g
+        # The Hessian/metric matvec is linear in the tangents; linearizing
+        # it here hoists all primals-only computation (forward-model
+        # linearizations, amplitude gathers, ...) out of the inner CG
+        # loop — one evaluation per Newton step instead of per matvec.
+        if linearize_hessp:
+            _, hessp_lin = jax.linearize(Partial(hessp, pos), zeros_like(pos))
+        else:
+            hessp_lin = Partial(hessp, pos)
         cg_res = cg(
-            Partial(hessp, pos), g,
+            hessp_lin, g,
             absdelta=cg_absdelta,
             resnorm=cg_resnorm,
             norm_ord=1,

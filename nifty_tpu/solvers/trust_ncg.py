@@ -230,8 +230,11 @@ def _trust_ncg(
     def _body(v):
         x, f, g, tr = v["x"], v["fun"], v["jac"], v["trust_radius"]
         nit = v["nit"] + 1
+        # Hoist primals-only work out of the CG-Steihaug loop (see the
+        # matching note in newton_cg.py).
+        _, hessp_lin = jax.linearize(partial(hessp, x), zeros_like(x))
         result = subproblem(
-            f, g, partial(hessp, x), trust_radius=tr, **subproblem_kwargs
+            f, g, hessp_lin, trust_radius=tr, **subproblem_kwargs
         )
         x_prop = jax.tree_util.tree_map(jnp.add, x, result.step)
         f_prop, g_prop = fun_and_grad(x_prop)
