@@ -452,6 +452,8 @@ def optimize_kl(
     sample_mode: SMPL_MODE_GENERIC_TYP = "nonlinear_resample",
     resume: Union[str, bool] = False,
     callback: Optional[Callable[[Samples, OptimizeVIState], None]] = None,
+    terminate_callback: Optional[Callable[[Samples, OptimizeVIState], bool]] = None,
+    plot_energy_history: bool = True,
     odir: Optional[str] = None,
     _optimize_vi=None,
     _optimize_vi_state=None,
@@ -513,11 +515,15 @@ def optimize_kl(
         open(sanity_fn, "w").close()
 
     nm = "OPTIMIZE_KL"
+    energy_history = []
     for i in range(opt_vi_st.nit, opt_vi.n_total_iterations):
         logger.info(f"{nm}: Starting {i + 1:04d}")
         samples, opt_vi_st = opt_vi.update(samples, opt_vi_st)
         msg = opt_vi.get_status_message(samples, opt_vi_st, name=nm)
         logger.info(msg)
+        energy_history.append(
+            (opt_vi_st.nit, float(opt_vi_st.minimization_state.fun))
+        )
         if sanity_fn is not None:
             with open(sanity_fn, "a") as f:
                 f.write("\n" + msg)
@@ -530,5 +536,27 @@ def optimize_kl(
                 )
         if callback is not None:
             callback(samples, opt_vi_st)
+        if terminate_callback is not None and terminate_callback(
+            samples, opt_vi_st
+        ):
+            logger.info(f"{nm}: terminated early by `terminate_callback`")
+            break
+
+    if plot_energy_history and odir is not None and energy_history:
+        # Energy-history plot (parity: the reference driver's
+        # `plot_energy_history`, src/minimization/optimize_kl.py:69).
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        nits, energies = zip(*energy_history)
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot(nits, energies, marker="o")
+        ax.set_xlabel("iteration")
+        ax.set_ylabel("KL energy")
+        fig.tight_layout()
+        fig.savefig(os.path.join(odir, "energy_history.png"), dpi=100)
+        plt.close(fig)
 
     return samples, opt_vi_st
