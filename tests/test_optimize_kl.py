@@ -173,3 +173,45 @@ def test_dynamics_models(key):
     g2 = jax.grad(lambda q: jnp.sum(m2(q) ** 2))(p2)
     assert bool(jnp.all(jnp.isfinite(g2["c"])))
     assert "lightspeed" in aux2
+
+
+def test_nonlinear_update_mode(key):
+    """'nonlinear_update' re-curves existing samples without redrawing."""
+    lh, cf, truth, noise_std = _small_problem(key)
+    ki, ko = jax.random.split(jax.random.PRNGKey(21))
+    init = jft.random_like(ki, lh.domain)
+    opt = jft.OptimizeVI(lh, n_total_iterations=3)
+    state = opt.init_state(
+        ko, n_samples=2,
+        draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-8, maxiter=40)),
+        nonlinearly_update_kwargs=dict(
+            minimize_kwargs=dict(xtol=1e-3, maxiter=2)
+        ),
+        kl_kwargs=dict(minimize_kwargs=dict(absdelta=1e-8, maxiter=10)),
+        sample_mode=lambda i: "nonlinear_resample" if i == 0
+        else "nonlinear_update",
+    )
+    samples = jft.Samples(pos=init, samples=None, keys=None)
+    samples, state = opt.update(samples, state)
+    keys_after_first = samples.keys
+    samples, state = opt.update(samples, state)
+    # keys unchanged -> no resampling happened in the update-only step
+    np.testing.assert_array_equal(
+        np.asarray(samples.keys), np.asarray(keys_after_first)
+    )
+    assert len(samples) == 4
+
+
+def test_point_estimates_boolean_tree(key):
+    """point_estimates may be a boolean pytree congruent with primals."""
+    lh, cf, truth, noise_std = _small_problem(key)
+    init = jft.random_like(jax.random.PRNGKey(3), lh.domain)
+    pe = {k: k == "cfzeromode" for k in init}
+    from nifty_tpu.evi import draw_linear_residual
+
+    smpl, _ = draw_linear_residual(
+        lh, init, jax.random.PRNGKey(4), point_estimates=pe,
+        cg_kwargs=dict(absdelta=1e-8, maxiter=40),
+    )
+    assert float(jnp.abs(smpl["cfzeromode"])) == 0.0
+    assert np.any(np.asarray(smpl["cfxi"]) != 0.0)
