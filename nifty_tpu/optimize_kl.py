@@ -454,6 +454,7 @@ def optimize_kl(
     callback: Optional[Callable[[Samples, OptimizeVIState], None]] = None,
     terminate_callback: Optional[Callable[[Samples, OptimizeVIState], bool]] = None,
     plot_energy_history: bool = True,
+    export_operator_outputs: Optional[dict] = None,
     odir: Optional[str] = None,
     _optimize_vi=None,
     _optimize_vi_state=None,
@@ -534,6 +535,18 @@ def optimize_kl(
                     (_to_host(samples), _to_host(opt_vi_st._replace(config={}))),
                     f,
                 )
+        if export_operator_outputs is not None and odir is not None:
+            # hdf5 export of configured operator outputs over samples each
+            # iteration (parity: reference driver export,
+            # src/minimization/optimize_kl.py:461+).
+            from .sample_io import save_samples_to_hdf5
+
+            save_samples_to_hdf5(
+                samples,
+                os.path.join(odir, "operator_outputs.h5"),
+                export_operator_outputs,
+                overwrite=True,
+            )
         if callback is not None:
             callback(samples, opt_vi_st)
         if terminate_callback is not None and terminate_callback(

@@ -268,3 +268,19 @@ def test_density_estimator(key):
     out = dm(dm.init(key))
     assert out.shape == (16, 16)
     assert bool(jnp.all(out > 0))
+
+
+def test_optimize_kl_operator_export(tmp_path, rng, key):
+    fwd = jft.Model(lambda p: p["x"] * 2.0,
+                    domain={"x": jft.ShapeWithDtype((8,))})
+    lh = jft.Gaussian(jnp.asarray(rng.normal(size=8))).amend(fwd)
+    samples, _ = jft.optimize_kl(
+        lh, jft.random_like(key, lh.domain), key=jax.random.PRNGKey(1),
+        n_total_iterations=2, n_samples=2, sample_mode="linear_resample",
+        odir=str(tmp_path),
+        export_operator_outputs={"sky": fwd},
+    )
+    import h5py
+
+    with h5py.File(os.path.join(tmp_path, "operator_outputs.h5")) as f:
+        assert f["sky/mean"].shape == (8,)
