@@ -19,6 +19,20 @@ import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the remote TPU compile helper can be slow;
+# cached executables make repeated bench/driver runs start instantly.
+try:
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
 import jax.numpy as jnp
 
 # Reference NIFTy.re wall time per OptimizeVI iteration for the identical
