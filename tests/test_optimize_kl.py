@@ -215,3 +215,24 @@ def test_point_estimates_boolean_tree(key):
     )
     assert float(jnp.abs(smpl["cfzeromode"])) == 0.0
     assert np.any(np.asarray(smpl["cfxi"]) != 0.0)
+
+
+@pmp("residual_map", ["smap", "lmap"])
+def test_residual_map_variants(key, residual_map):
+    """Memory-frugal sequential sample maps produce the same results as
+    vmap (the reference's smap/lmap memory knob)."""
+    lh, cf, truth, noise_std = _small_problem(key, dims=(8, 8))
+    ki, ko = jax.random.split(jax.random.PRNGKey(31))
+    init = jft.random_like(ki, lh.domain)
+    common = dict(
+        key=ko, n_total_iterations=2, n_samples=2,
+        draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-10, maxiter=60)),
+        kl_kwargs=dict(minimize_kwargs=dict(absdelta=1e-9, maxiter=10)),
+        sample_mode="linear_resample",
+    )
+    s_v, _ = jft.optimize_kl(lh, init, residual_map="vmap", **common)
+    s_m, _ = jft.optimize_kl(lh, init, residual_map=residual_map, **common)
+    np.testing.assert_allclose(
+        np.asarray(s_v.pos["cfxi"]), np.asarray(s_m.pos["cfxi"]),
+        rtol=1e-5, atol=1e-6,
+    )
