@@ -6,3 +6,4 @@ from .harmonic import (
     hartley_via_c2c,
     ifftn,
 )
+from .healpix_sht import HEALPixSHT

@@ -208,3 +208,58 @@ def test_spherical_cf_inference(key):
     pm = jft.mean([cf(s) for s in samples])
     rms = float(jnp.sqrt(jnp.mean((pm - truth) ** 2)))
     assert rms < 3 * noise
+
+
+def test_healpix_sht_synthesis_vs_direct(rng):
+    from nifty_tpu.ops import healpix as hpx
+    from nifty_tpu.ops.healpix_sht import HEALPixSHT
+    from nifty_tpu.ops.sht import alm_index
+
+    try:
+        from scipy.special import sph_harm_y
+
+        def Y(l, m, th, ph):
+            return sph_harm_y(l, m, th, ph)
+    except ImportError:
+        from scipy.special import sph_harm
+
+        def Y(l, m, th, ph):
+            return sph_harm(m, l, ph, th)
+
+    lmax, nside = 6, 4
+    sht = HEALPixSHT(lmax, nside)
+    alm = rng.normal(size=sht.n_alm) + 1j * rng.normal(size=sht.n_alm)
+    alm[: lmax + 1] = alm[: lmax + 1].real
+    alm = jnp.asarray(alm)
+    mp = np.asarray(sht.alm2map(alm))
+    theta, phi = hpx.pix2ang(nside, np.arange(hpx.npix(nside)))
+    for p in rng.integers(0, hpx.npix(nside), size=6):
+        v = sum(
+            (complex(alm[alm_index(l, m, lmax)]) * Y(l, m, theta[p], phi[p])
+             ).real * (1 if m == 0 else 2)
+            for l in range(lmax + 1) for m in range(l + 1)
+        )
+        np.testing.assert_allclose(mp[p], v, atol=1e-11)
+
+
+def test_healpix_sht_analysis_roundtrip(rng):
+    from nifty_tpu.ops.healpix_sht import HEALPixSHT
+
+    lmax, nside = 8, 8
+    sht = HEALPixSHT(lmax, nside)
+    alm = rng.normal(size=sht.n_alm) + 1j * rng.normal(size=sht.n_alm)
+    alm[: lmax + 1] = alm[: lmax + 1].real
+    alm = jnp.asarray(alm)
+    mp = sht.alm2map(alm)
+    alm2 = sht.map2alm(mp, maxiter=200, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(alm2), np.asarray(alm), atol=1e-10)
+
+
+def test_healpix_sht_y00():
+    from nifty_tpu.ops.healpix_sht import HEALPixSHT
+
+    sht = HEALPixSHT(4, 4)
+    alm = jnp.zeros(sht.n_alm, dtype=complex).at[0].set(1.0)
+    np.testing.assert_allclose(
+        np.asarray(sht.alm2map(alm)), 1.0 / np.sqrt(4 * np.pi), rtol=1e-12
+    )
