@@ -77,15 +77,26 @@ SphericalHarmonicGrid = namedtuple(
 )
 
 
-def make_spherical_grid(lmax, nlat=None, nphi=None) -> RegularCartesianGrid:
+def make_spherical_grid(lmax, nlat=None, nphi=None, *,
+                        grid_type: str = "gl",
+                        nside=None) -> RegularCartesianGrid:
     """Sphere 'grid' metadata: l-binned power over (lmax+1)^2 real
-    coefficients; transform = exact Gauss-Legendre SHT synthesis scaled by
+    coefficients; transform = exact Gauss-Legendre SHT synthesis (or the
+    HEALPix two-stage synthesis for ``grid_type="healpix"``) scaled by
     ``1/sqrt(4π)`` so ``fluctuations`` is the pointwise field std (same
     convention as the Fourier branch)."""
-    from ..ops.sht import SphericalHarmonicTransform
-
     lmax = int(lmax)
-    sht = SphericalHarmonicTransform(lmax, nlat=nlat, nphi=nphi)
+    if grid_type.lower() in ("healpix", "hp"):
+        from ..ops.healpix_sht import HEALPixSHT
+
+        nside = int(nside) if nside is not None else max(1, (lmax + 1) // 2)
+        sht = HEALPixSHT(lmax, nside)
+        sht_grid_shape = (sht.npix,)
+    else:
+        from ..ops.sht import SphericalHarmonicTransform
+
+        sht = SphericalHarmonicTransform(lmax, nlat=nlat, nphi=nphi)
+        sht_grid_shape = sht.grid_shape
     totvol = 4.0 * np.pi
     ls = np.asarray(
         np.concatenate(
@@ -115,7 +126,7 @@ def make_spherical_grid(lmax, nlat=None, nphi=None) -> RegularCartesianGrid:
         transform=transform,
     )
     return RegularCartesianGrid(
-        shape=sht.grid_shape,
+        shape=sht_grid_shape,
         total_volume=totvol,
         distances=None,
         harmonic_grid=harmonic_grid,
@@ -127,6 +138,8 @@ def make_grid(shape, distances, harmonic_type="fourier") -> RegularCartesianGrid
     if harmonic_type.lower() in ("spherical", "sphere", "sh"):
         # `shape` is interpreted as lmax for spherical grids.
         return make_spherical_grid(shape)
+    if harmonic_type.lower() in ("healpix", "hp"):
+        return make_spherical_grid(shape, grid_type="healpix")
     shape = (shape,) if isinstance(shape, int) else tuple(shape)
     distances = tuple(np.broadcast_to(distances, (len(shape),)).astype(float))
     totvol = float(np.prod(np.array(shape) * np.array(distances)))

@@ -104,6 +104,13 @@ class HEALPixSHT:
 
         return _pack_matrix_to_alm(A, self.lmax, self.mmax)
 
+    def synthesize_real(self, x):
+        """Real LMSpace coefficients -> HEALPix map (for spherical
+        correlated fields on HEALPix grids)."""
+        from .sht import real2alm
+
+        return self.alm2map(real2alm(x, self.lmax, self.mmax))
+
     def map2alm(self, m_arr, maxiter: int = 20, tol: float = 1e-8):
         """Iterative analysis: solve ``synth(alm) = map`` in the
         least-squares sense by CG on the normal equations."""

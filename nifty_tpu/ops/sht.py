@@ -163,38 +163,47 @@ class SphericalHarmonicTransform:
 
     # -- real-coefficient (LMSpace) interface ------------------------------
     def real2alm(self, x):
-        """(lmax+1)^2 real coefficients -> packed complex alm.
-
-        Layout: m=0 column (lmax+1 reals), then per m>0 interleaved
-        (Re, Im) pairs scaled by 1/sqrt(2) so the map's covariance is the
-        identity for white real coefficients.
-        """
-        lmax, mmax = self.lmax, self.mmax
-        out = [x[: lmax + 1].astype(self._dtype) + 0j]
-        ofs = lmax + 1
-        inv_sqrt2 = 1.0 / np.sqrt(2.0)
-        for m in range(1, mmax + 1):
-            n = lmax + 1 - m
-            re = x[ofs:ofs + 2 * n:2]
-            im = x[ofs + 1:ofs + 2 * n:2]
-            out.append((re + 1j * im) * inv_sqrt2)
-            ofs += 2 * n
-        return jnp.concatenate(out)
+        """(lmax+1)^2 real coefficients -> packed complex alm."""
+        return real2alm(x, self.lmax, self.mmax)
 
     def alm2real(self, alm):
-        lmax, mmax = self.lmax, self.mmax
-        parts = [alm[: lmax + 1].real]
-        ofs = lmax + 1
-        sqrt2 = np.sqrt(2.0)
-        for m in range(1, mmax + 1):
-            n = lmax + 1 - m
-            block = alm[ofs:ofs + n] * sqrt2
-            inter = jnp.stack([block.real, block.imag], axis=-1).reshape(-1)
-            parts.append(inter)
-            ofs += n
-        return jnp.concatenate(parts)
+        return alm2real(alm, self.lmax, self.mmax)
 
     def synthesize_real(self, x):
         """Real LMSpace coefficients -> map (the harmonic transform used by
         spherical correlated fields)."""
         return self.alm2map(self.real2alm(x))
+
+
+def real2alm(x, lmax: int, mmax: Optional[int] = None):
+    """(lmax+1)^2 real coefficients -> packed complex alm.
+
+    Layout: m=0 column (lmax+1 reals), then per m>0 interleaved (Re, Im)
+    pairs scaled by 1/sqrt(2) so a band-limited map built from white real
+    coefficients has unit covariance per coefficient.
+    """
+    mmax = lmax if mmax is None else mmax
+    out = [x[: lmax + 1] + 0j]
+    ofs = lmax + 1
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    for m in range(1, mmax + 1):
+        n = lmax + 1 - m
+        re = x[ofs:ofs + 2 * n:2]
+        im = x[ofs + 1:ofs + 2 * n:2]
+        out.append((re + 1j * im) * inv_sqrt2)
+        ofs += 2 * n
+    return jnp.concatenate(out)
+
+
+def alm2real(alm, lmax: int, mmax: Optional[int] = None):
+    mmax = lmax if mmax is None else mmax
+    parts = [alm[: lmax + 1].real]
+    ofs = lmax + 1
+    sqrt2 = np.sqrt(2.0)
+    for m in range(1, mmax + 1):
+        n = lmax + 1 - m
+        block = alm[ofs:ofs + n] * sqrt2
+        inter = jnp.stack([block.real, block.imag], axis=-1).reshape(-1)
+        parts.append(inter)
+        ofs += n
+    return jnp.concatenate(parts)

@@ -263,3 +263,18 @@ def test_healpix_sht_y00():
     np.testing.assert_allclose(
         np.asarray(sht.alm2map(alm)), 1.0 / np.sqrt(4 * np.pi), rtol=1e-12
     )
+
+
+def test_healpix_correlated_field(key):
+    cfm = jft.CorrelatedFieldMaker("h")
+    cfm.set_amplitude_total_offset(offset_mean=0.0, offset_std=(1e-3, 1e-4))
+    cfm.add_fluctuations(12, None, fluctuations=(2.0, 1e-3),
+                         loglogavgslope=(-0.5, 1e-3), flexibility=None,
+                         harmonic_type="healpix")
+    cf = cfm.finalize()
+    outs = jax.vmap(lambda k: cf(cf.init(k)))(jax.random.split(key, 200))
+    from nifty_tpu.ops import healpix as hpx
+
+    assert outs.shape[1] == hpx.npix(6)  # default nside = (lmax+1)//2
+    std = float(np.sqrt(np.var(np.asarray(outs), axis=0).mean()))
+    assert abs(std - 2.0) < 0.3
