@@ -145,3 +145,29 @@ def test_healpix_refinement_covariance():
         kernel(jnp.sqrt(((P[:, None] - P[None, :]) ** 2).sum(-1)))
     )
     assert np.abs(C - exact).max() < 0.02
+
+
+def test_healpix_radial_refinement():
+    from nifty_tpu.refine import CoordinateChart
+    from nifty_tpu.refine.healpix_field import HEALPixChart, RefinementHPField
+
+    kernel = lambda r: jnp.exp(-(r / 1.5) ** 2 / 2)
+    radial = CoordinateChart(6, depth=1, distances0=0.1,
+                             nonlinear_map=lambda x: 1.0 + x)
+    chart = HEALPixChart(2, depth=1, radial_chart=radial)
+    rf = RefinementHPField(chart, kernel)
+    x = rf.init(jax.random.PRNGKey(0))
+    out = jax.jit(rf)(x)
+    assert out.shape == chart.shapes[-1]
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, x)
+    J = jax.jacfwd(rf)(zeros)
+    npts = int(np.prod(chart.shapes[-1]))
+    A = np.concatenate(
+        [np.asarray(J[k]).reshape(npts, -1) for k in sorted(J)], axis=-1
+    )
+    C = A @ A.T
+    P = chart.positions(chart.depth).reshape(-1, 3)
+    exact = np.asarray(
+        kernel(jnp.sqrt(((P[:, None] - P[None, :]) ** 2).sum(-1)))
+    )
+    assert np.abs(C - exact).max() < 0.05
