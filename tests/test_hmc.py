@@ -131,3 +131,42 @@ def test_hmc_acc_rej_statistics():
         accepted.append(bool(out.accepted))
         pos = out.accepted_qp.position
     assert np.mean(accepted) > 0.9
+
+
+def test_nuts_vs_vi_crosscheck():
+    """NUTS and linear-VI agree on the posterior mean of a small
+    correlated-field problem (the BASELINE cross-check, scaled down)."""
+    import nifty_tpu as jft
+    from nifty_tpu.optimize_kl import _StandardHamiltonian
+
+    key = jax.random.PRNGKey(3)
+    cfm = jft.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=0.5, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations((8, 8), 1 / 8, (1.0, 0.3), (-2.0, 0.2))
+    cf = cfm.finalize()
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    truth = cf(cf.init(k1))
+    noise = 0.3
+    data = truth + noise * jax.random.normal(k2, truth.shape)
+    lh = jft.Gaussian(data, lambda x: x / noise ** 2).amend(cf)
+
+    samples, _ = jft.optimize_kl(
+        lh, jft.random_like(k3, lh.domain), key=k4,
+        n_total_iterations=4, n_samples=3,
+        draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-10, maxiter=60)),
+        kl_kwargs=dict(minimize_kwargs=dict(absdelta=1e-9, maxiter=20)),
+        sample_mode="linear_resample",
+    )
+    vi_mean = jft.mean([cf(s) for s in samples])
+
+    ham = _StandardHamiltonian(lh)
+    chain = jft.NUTSChain(
+        potential_energy=lambda q: ham(q), inverse_mass_matrix=1.0,
+        position_proto=samples.pos, step_size=0.3, max_tree_depth=7,
+    )
+    out, _ = chain.generate_n_samples(k5, samples.pos, 400)
+    nuts_mean = jnp.mean(jax.vmap(cf)(
+        jax.tree_util.tree_map(lambda a: a[100:], out.samples)
+    ), axis=0)
+    rms = float(jnp.sqrt(jnp.mean((vi_mean - nuts_mean) ** 2)))
+    assert rms < noise, rms

@@ -135,3 +135,38 @@ def test_shard_samples_roundtrip(rng, key):
     # sharding placed on the right axes
     sh = ss._samples["xi"].sharding
     assert sh.spec[0] == "samples"
+
+
+def test_kl_with_pairwise_reduce_mesh_independent(rng, key):
+    """The deterministic pairwise reduce removes the reduction-order
+    dependence of the KL value/grad across mesh sizes; what remains is
+    ulp-level layout-dependent rounding inside per-sample kernels."""
+    from nifty_tpu.optimize_kl import _kl_vg, concatenate_zip
+    from nifty_tpu.evi import draw_linear_residual
+
+    dims = (8, 8)
+    cfm = jft.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=0.5, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(dims, 1.0 / 8, (1.0, 0.5), (-2.0, 0.5))
+    cf = cfm.finalize()
+    lh = jft.Gaussian(jnp.asarray(rng.normal(size=dims))).amend(cf)
+    pos = jft.random_like(key, lh.domain)
+    keys = jax.random.split(jax.random.PRNGKey(5), 8)
+
+    def vg(lh, pos, keys):
+        draw = jax.vmap(lambda k: draw_linear_residual(
+            lh, pos, k, cg_kwargs=dict(resnorm=1e-6, maxiter=30))[0])
+        resid = draw(keys)
+        neg = jax.tree_util.tree_map(jnp.negative, resid)
+        samples = jft.Samples(pos=pos, samples=concatenate_zip(resid, neg))
+        return _kl_vg(lh, pos, samples, reduce=tree_pairwise_mean)
+
+    v0, g0 = jax.jit(vg)(lh, pos, keys)
+    mesh = make_mesh(samples=8, field=1)
+    keys_sh = jax.device_put(keys, NamedSharding(mesh, P("samples")))
+    v1, g1 = jax.jit(vg)(lh, pos, keys_sh)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12)
