@@ -37,17 +37,17 @@ def _gather_kernel(idx_ref, table_ref, out_ref):
     from jax import lax
 
     ids = idx_ref[:]  # (BR, 128) int32
-    tbl = table_ref[:]  # (npad,) f32
-    npad = tbl.shape[0]
-    m = ids.shape[0] * ids.shape[1]
-    # 2-D one-hot (Mosaic-friendly): (M, npad) compare + MXU matvec.
-    bins = lax.broadcasted_iota(jnp.int32, (m, npad), 1)
-    oh = (ids.reshape(m, 1) == bins).astype(tbl.dtype)
-    out_ref[:] = jax.lax.dot_general(
-        oh, tbl.reshape(npad, 1),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(ids.shape)
+    nbins = table_ref.shape[0]
+
+    # Mosaic-safe select-accumulate: loop over bins with scalar loads and
+    # 2-D vector compare/select only (no reshapes across the lane dim).
+    def body(b, acc):
+        val = table_ref[b]
+        return acc + jnp.where(ids == b, val, 0.0)
+
+    out_ref[:] = lax.fori_loop(
+        0, nbins, body, jnp.zeros(ids.shape, dtype=out_ref.dtype)
+    )
 
 
 def _scatter_kernel(idx_ref, cot_ref, out_ref):
@@ -57,20 +57,16 @@ def _scatter_kernel(idx_ref, cot_ref, out_ref):
     ids = idx_ref[:]
     cot = cot_ref[:]
     npad = out_ref.shape[0]
-    m = ids.shape[0] * ids.shape[1]
-    bins = lax.broadcasted_iota(jnp.int32, (m, npad), 1)
-    oh = (ids.reshape(m, 1) == bins).astype(cot.dtype)
-    partial_sum = jax.lax.dot_general(
-        cot.reshape(1, m), oh,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(npad)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += partial_sum
+    def body(b, _):
+        out_ref[b] += jnp.sum(jnp.where(ids == b, cot, 0.0))
+        return 0
+
+    lax.fori_loop(0, npad, body, 0)
 
 
 def _pallas_gather_flat(table_pad, idx_flat_pad):
@@ -87,8 +83,10 @@ def _pallas_gather_flat(table_pad, idx_flat_pad):
         in_specs=[
             pl.BlockSpec((_BLOCK_ROWS, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            # the small table lives in SMEM: the kernel reads it with
+            # scalar loads inside the bin loop
             pl.BlockSpec((table_pad.shape[0],), lambda i: (0,),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((_BLOCK_ROWS, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -116,7 +114,7 @@ def _pallas_scatter_flat(cot_flat_pad, idx_flat_pad, npad, dtype):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((npad,), lambda i: (0,),
-                               memory_space=pltpu.VMEM),
+                               memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((npad,), dtype),
     )(idx2, cot2)
     return out
