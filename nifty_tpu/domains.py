@@ -227,9 +227,11 @@ class LMSpace(Domain):
     def __init__(self, lmax: int, mmax: Optional[int] = None):
         self._lmax = int(lmax)
         self._mmax = int(mmax) if mmax is not None else self._lmax
-        if self._mmax != self._lmax:
-            raise NotImplementedError("mmax != lmax not supported yet")
-        self._shape = ((self._lmax + 1) ** 2,)
+        # real-coefficient count: m=0 column + 2 per (l, m>0)
+        n = (self._lmax + 1) + sum(
+            2 * (self._lmax + 1 - m) for m in range(1, self._mmax + 1)
+        )
+        self._shape = (n,)
         self.harmonic = True
 
     @property
@@ -252,13 +254,9 @@ class LMSpace(Domain):
 
     def get_k_length_array(self):
         """l value of every real coefficient (for smoothing kernels)."""
-        ls = []
-        for m in range(self._mmax + 1):
-            ell = np.arange(m, self._lmax + 1)
-            if m == 0:
-                ls.append(ell)
-            else:
-                ls.append(np.repeat(ell, 2))
+        ls = [np.arange(self._lmax + 1)]
+        for m in range(1, self._mmax + 1):
+            ls.append(np.repeat(np.arange(m, self._lmax + 1), 2))
         return jnp.asarray(np.concatenate(ls).astype(float))
 
     def get_fft_smoothing_kernel_function(self, sigma):

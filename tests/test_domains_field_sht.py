@@ -278,3 +278,14 @@ def test_healpix_correlated_field(key):
     assert outs.shape[1] == hpx.npix(6)  # default nside = (lmax+1)//2
     std = float(np.sqrt(np.var(np.asarray(outs), axis=0).mean()))
     assert abs(std - 2.0) < 0.3
+
+
+def test_sht_mmax_lt_lmax(rng):
+    sht = SphericalHarmonicTransform(lmax=16, mmax=8)
+    alm = rng.normal(size=sht.n_alm) + 1j * rng.normal(size=sht.n_alm)
+    alm[:17] = alm[:17].real
+    alm = jnp.asarray(alm)
+    np.testing.assert_allclose(
+        np.asarray(sht.map2alm(sht.alm2map(alm))), np.asarray(alm),
+        atol=1e-12,
+    )
