@@ -7,6 +7,12 @@ metric-CG, curves them nonlinearly, and Newton-CG-minimizes the sampled
 KL.  Runs on CPU or a TPU chip unchanged.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import jax
 import jax.numpy as jnp
 

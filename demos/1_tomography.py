@@ -5,6 +5,12 @@ A 3-D (64^3 by default) correlated field probed by rays through the
 volume (`SamplingCartesianGridLOS`), inferred with MGVI.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

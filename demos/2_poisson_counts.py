@@ -5,6 +5,12 @@ Counts data with a log-normal correlated-field intensity, inferred with
 geoVI using the Poissonian likelihood's exact metric square root.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import jax
 import jax.numpy as jnp
 

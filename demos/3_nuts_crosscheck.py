@@ -6,6 +6,12 @@ Runs geoVI and a NUTS chain on the same standardized Hamiltonian of a
 small correlated-field problem and compares posterior moments.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,6 +11,12 @@ transform over the "field" mesh axis; antithetic sample draws ride the
 "samples" axis; KL mean-reductions become all-reduces over ICI.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
 from functools import partial
 
 import jax
