@@ -17,7 +17,6 @@ import configparser
 import importlib
 from typing import Any, Callable, Mapping, Optional
 
-from .logger import logger
 
 
 def parse_value(v: str):

@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Any, Callable, Tuple, Union
 
 from jax import lax
-from jax import numpy as jnp
 from jax.tree_util import tree_leaves, tree_map
 
 from .tree import stack

@@ -19,12 +19,11 @@ harmonic; ``src/domains/rg_space.py``), :class:`UnstructuredDomain`
 from __future__ import annotations
 
 from functools import cached_property
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import numpy as np
 from jax import numpy as jnp
 
-from .ops.harmonic import fourier_mode_distributor, fourier_mode_lengths
 
 
 class Domain:

@@ -18,8 +18,6 @@ Two backends:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.flatten_util
 import numpy as np

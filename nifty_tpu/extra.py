@@ -9,11 +9,10 @@ formulated for callables/Models instead of operator objects.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import numpy as np
-from jax import numpy as jnp
 from jax.tree_util import tree_leaves, tree_map
 
 from .likelihood import Likelihood

@@ -15,14 +15,12 @@ Parity: reference ``src/field.py:28,240,296,442,709`` (``Field``,
 from __future__ import annotations
 
 import operator
-from typing import Optional, Union
-
 import jax
 import numpy as np
 from jax import numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
-from .domains import Domain, DomainTuple, PowerSpace, RGSpace
+from .domains import DomainTuple, PowerSpace, RGSpace
 from .tree import random_like
 
 

@@ -19,7 +19,7 @@ API parity: ``generate_hmc_acc_rej`` (``src/re/hmc.py:141``),
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, NamedTuple, TypeVar, Union
+from typing import Callable, NamedTuple, TypeVar, Union
 
 import jax
 from jax import lax

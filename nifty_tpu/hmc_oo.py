@@ -13,16 +13,13 @@ from functools import partial
 from typing import Any, Callable, NamedTuple, Optional, Tuple, TypeVar, Union
 
 import jax
-import numpy as np
 from jax import lax
 from jax import numpy as jnp
 from jax import random
 from jax.tree_util import tree_map, tree_structure
 
 from .hmc import (
-    AcceptedAndRejected,
     QP,
-    Tree,
     _kinetic_energy,
     _kinetic_energy_gradient,
     generate_hmc_acc_rej,

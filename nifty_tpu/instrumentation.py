@@ -13,10 +13,9 @@
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
-import numpy as np
 from jax import numpy as jnp
 
 from .likelihood import Likelihood

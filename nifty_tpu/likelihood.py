@@ -37,8 +37,8 @@ from jax.tree_util import (
     tree_unflatten,
 )
 
-from .model import LazyModel, Model, NoValue
-from .tree import ShapeWithDtype, Vector, conj, shape_dtype_like, zeros_like
+from .model import LazyModel, NoValue
+from .tree import ShapeWithDtype, Vector, conj, shape_dtype_like
 
 P = TypeVar("P")
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 import pprint
 from typing import Any, NamedTuple
 
-import jax
 from jax import numpy as jnp
 from jax.tree_util import tree_map
 

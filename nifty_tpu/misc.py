@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from functools import wraps
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 from jax import numpy as jnp

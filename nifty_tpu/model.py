@@ -25,7 +25,6 @@ from pprint import pformat
 from typing import Any, Callable, Optional
 
 import jax
-from jax import numpy as jnp
 from jax import random
 from jax.tree_util import (
     register_pytree_node,

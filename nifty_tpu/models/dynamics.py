@@ -17,7 +17,7 @@ transforms are Hartley-based and fuse into the surrounding model.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 from jax import numpy as jnp

@@ -14,7 +14,7 @@ Math re-derived from the SDE discretizations.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional, Union
+from typing import Callable, Optional
 
 import numpy as np
 from jax import numpy as jnp

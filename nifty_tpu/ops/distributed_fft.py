@@ -22,13 +22,10 @@ dense counterparts, so autodiff through ``shard_map`` yields the correct
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
-
 import jax
-import numpy as np
 from jax import lax
 from jax import numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import config
 

@@ -13,7 +13,6 @@ honored (``src/config.py:14``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

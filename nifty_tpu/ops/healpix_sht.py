@@ -18,7 +18,6 @@ Replaces the ducc ``sharpjob_d`` HEALPix path of the reference
 
 from __future__ import annotations
 
-from functools import cached_property
 from typing import Optional
 
 import jax

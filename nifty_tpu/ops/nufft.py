@@ -20,9 +20,6 @@ w-stacking in :class:`RadioResponse` when ``w`` values are provided.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import numpy as np
 from jax import numpy as jnp

@@ -17,7 +17,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import numpy as np
 from jax import numpy as jnp
 
 _BLOCK_ROWS = 16  # block = (_BLOCK_ROWS, 128) indices per grid step

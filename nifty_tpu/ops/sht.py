@@ -21,7 +21,6 @@ scan-formulated variant is the planned extension for larger bands.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -35,7 +35,7 @@ import jax
 import numpy as np
 from jax import numpy as jnp
 from jax import random
-from jax.tree_util import Partial, tree_map
+from jax.tree_util import tree_map
 
 from .evi import (
     Samples,

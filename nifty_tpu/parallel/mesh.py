@@ -23,9 +23,8 @@ deterministic allreduce.
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
