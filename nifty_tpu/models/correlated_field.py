@@ -38,6 +38,7 @@ from jax import numpy as jnp
 
 from ..model import Model, WrappedCall, wrap
 from ..ops.harmonic import fourier_mode_distributor, hartley
+from ..ops.pallas_gather import distribute_power
 from ..stats import lognormal_prior, normal_prior
 from ..tree import ShapeWithDtype, random_like
 from .gauss_markov import IntegratedWienerProcess
@@ -624,9 +625,11 @@ class CorrelatedFieldMaker:
         )
 
         def outer_amplitude(p):
-            outer = namps[0](p)[distributors[0]]
+            outer = distribute_power(namps[0](p), distributors[0])
             for amp, dist in zip(namps[1:], distributors[1:]):
-                outer = jnp.tensordot(outer, amp(p)[dist], axes=0)
+                outer = jnp.tensordot(
+                    outer, distribute_power(amp(p), dist), axes=0
+                )
             return outer
 
         def correlated_field(p):

@@ -1,25 +1,45 @@
-"""Pallas TPU kernel for small-table gathers (power distribution).
+"""Small-table gather as a first-class JAX primitive with a Pallas TPU path.
 
-The correlated field distributes a ~O(100..1000)-bin amplitude spectrum
-onto every harmonic mode: ``amp_full = amp[dist]`` with a *static* index
-map.  XLA lowers this to a slow general gather on TPU (measured ~7 ms for
-a 1024² grid vs ~0.02 ms for the FFT it feeds!).  This kernel computes the
-same gather as a blocked one-hot compare-and-reduce entirely in VMEM —
-O(nbin) VPU ops per element but no HBM-indirect addressing — and its
-custom vjp computes the exact adjoint (per-bin segment sums) with the
-transposed one-hot reduction, accumulated across the sequential TPU grid.
+The correlated field distributes a small amplitude spectrum onto every
+harmonic mode: ``amp_full = amp[dist]`` with a *static* index map.  XLA
+lowers this to a slow general gather on TPU (measured ~7 ms for a 1024²
+grid vs ~0.02 ms for the FFT it feeds — the dominant cost of the CF
+forward pass; reference equivalent: the ``PowerDistributor`` matrix-free
+operator, ``src/operators/distributors.py:31``).  The Pallas kernel
+computes the same gather as a blocked compare-and-select reduction
+entirely in VMEM — O(nbins) VPU ops per element but no HBM-indirect
+addressing — with the table held in SMEM for scalar broadcast loads.
 
-Falls back to plain indexing off-TPU (CPU tests run the XLA gather).
+``bin_gather`` is registered as a custom primitive so every transform the
+framework relies on composes:
+
+- **JVP** (``jax.linearize`` in the Newton-CG hessian-vector product and
+  the likelihood metric): the op is linear in ``table`` — the tangent is
+  the same gather of the tangent table.
+- **Transpose** (``jax.linear_transpose`` in the metric, VJPs): the exact
+  per-bin segment sum, implemented by a Pallas scatter-accumulate kernel.
+- **Batching** (``vmap`` over posterior samples): leading batch axes of
+  ``table`` collapse onto the kernel's batch grid dimension — per-element
+  cost stays O(nbins), not O(B·nbins).
+
+The select loop costs O(nbins) per element, so the kernel is gated on
+:data:`SMALL_TABLE_MAX_BINS`; above it (e.g. the 83k unique modes of a
+1024² grid) XLA's gather wins and is used instead.  Off-TPU the
+primitive lowers to the plain XLA gather/segment-sum.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
+import jax.extend
+import numpy as np
 from jax import numpy as jnp
+from jax.interpreters import ad, batching, mlir
 
 _BLOCK_ROWS = 16  # block = (_BLOCK_ROWS, 128) indices per grid step
+
+#: Largest table for which the select-loop kernel beats XLA's gather.
+SMALL_TABLE_MAX_BINS = 4096
 
 
 def _pad_to(x, mult, axis=0, value=0):
@@ -32,19 +52,21 @@ def _pad_to(x, mult, axis=0, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+# -- kernels -------------------------------------------------------------
+
 def _gather_kernel(idx_ref, table_ref, out_ref):
     from jax import lax
 
     ids = idx_ref[:]  # (BR, 128) int32
-    nbins = table_ref.shape[0]
+    nbins = table_ref.shape[1]
 
     # Mosaic-safe select-accumulate: loop over bins with scalar loads and
     # 2-D vector compare/select only (no reshapes across the lane dim).
     def body(b, acc):
-        val = table_ref[b]
+        val = table_ref[0, b]
         return acc + jnp.where(ids == b, val, 0.0)
 
-    out_ref[:] = lax.fori_loop(
+    out_ref[0] = lax.fori_loop(
         0, nbins, body, jnp.zeros(ids.shape, dtype=out_ref.dtype)
     )
 
@@ -54,68 +76,73 @@ def _scatter_kernel(idx_ref, cot_ref, out_ref):
     from jax.experimental import pallas as pl
 
     ids = idx_ref[:]
-    cot = cot_ref[:]
-    npad = out_ref.shape[0]
+    cot = cot_ref[0]
+    npad = out_ref.shape[1]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     def body(b, _):
-        out_ref[b] += jnp.sum(jnp.where(ids == b, cot, 0.0))
+        out_ref[0, b] += jnp.sum(jnp.where(ids == b, cot, 0.0))
         return 0
 
     lax.fori_loop(0, npad, body, 0)
 
 
-def _pallas_gather_flat(table_pad, idx_flat_pad):
+def _pallas_gather(table2, idx_flat_pad):
+    """table2 (B, nb) × flat padded idx -> (B, n) gathered values."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    nbatch = table2.shape[0]
+    table_pad = _pad_to(table2, 128, axis=1)
     n = idx_flat_pad.shape[0]
     rows = n // 128
-    grid = rows // _BLOCK_ROWS
+    grid_i = rows // _BLOCK_ROWS
     idx2 = idx_flat_pad.reshape(rows, 128)
     out = pl.pallas_call(
         _gather_kernel,
-        grid=(grid,),
+        grid=(nbatch, grid_i),
         in_specs=[
-            pl.BlockSpec((_BLOCK_ROWS, 128), lambda i: (i, 0),
+            pl.BlockSpec((_BLOCK_ROWS, 128), lambda b, i: (i, 0),
                          memory_space=pltpu.VMEM),
             # the small table lives in SMEM: the kernel reads it with
             # scalar loads inside the bin loop
-            pl.BlockSpec((table_pad.shape[0],), lambda i: (0,),
+            pl.BlockSpec((1, table_pad.shape[1]), lambda b, i: (b, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((_BLOCK_ROWS, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, _BLOCK_ROWS, 128), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, 128), table_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((nbatch, rows, 128), table2.dtype),
     )(idx2, table_pad)
-    return out.reshape(-1)
+    return out.reshape(nbatch, -1)
 
 
-def _pallas_scatter_flat(cot_flat_pad, idx_flat_pad, npad, dtype):
+def _pallas_scatter(cot2, idx_flat_pad, npad):
+    """cot2 (B, n) × flat padded idx -> (B, npad) per-bin sums."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    nbatch = cot2.shape[0]
     n = idx_flat_pad.shape[0]
     rows = n // 128
-    grid = rows // _BLOCK_ROWS
+    grid_i = rows // _BLOCK_ROWS
     idx2 = idx_flat_pad.reshape(rows, 128)
-    cot2 = cot_flat_pad.reshape(rows, 128)
+    cot3 = cot2.reshape(nbatch, rows, 128)
     out = pl.pallas_call(
         _scatter_kernel,
-        grid=(grid,),
+        grid=(nbatch, grid_i),
         in_specs=[
-            pl.BlockSpec((_BLOCK_ROWS, 128), lambda i: (i, 0),
+            pl.BlockSpec((_BLOCK_ROWS, 128), lambda b, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK_ROWS, 128), lambda i: (i, 0),
+            pl.BlockSpec((1, _BLOCK_ROWS, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((npad,), lambda i: (0,),
+        out_specs=pl.BlockSpec((1, npad), lambda b, i: (b, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((npad,), dtype),
-    )(idx2, cot2)
+        out_shape=jax.ShapeDtypeStruct((nbatch, npad), cot2.dtype),
+    )(idx2, cot3)
     return out
 
 
@@ -126,53 +153,125 @@ def _on_tpu():
         return False
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def bin_gather(table, idx, nbins: int):
-    """``table[idx]`` for a small 1-D table with a fast TPU path.
+# -- primitive -----------------------------------------------------------
+#
+# bin_gather_p :: table (B, nb), idx (any shape, int) -> (B, *idx.shape)
+# The wrapper presents the unbatched (nb,) -> idx.shape view; vmap over
+# table folds extra axes into B.
 
-    ``idx`` may have any shape; ``nbins`` must bound the table length
-    statically.  The vjp w.r.t. ``table`` is the exact per-bin segment
-    sum.
-    """
-    return _bin_gather_impl(table, idx, nbins)
+bin_gather_p = jax.extend.core.Primitive("bin_gather")
 
 
-def _bin_gather_impl(table, idx, nbins):
-    if not _on_tpu():
-        return table[idx]
-    shape = idx.shape
-    table_pad = _pad_to(table, 128)
+def _use_pallas(nb):
+    return _on_tpu() and nb <= SMALL_TABLE_MAX_BINS
+
+
+def _gather_impl(table, idx):
+    nbatch, nb = table.shape
+    if not _use_pallas(nb):
+        return jnp.take(table, idx, axis=1)
     idx_flat = idx.reshape(-1).astype(jnp.int32)
     n = idx_flat.shape[0]
     block = _BLOCK_ROWS * 128
     if n % block != 0:
         idx_flat = _pad_to(idx_flat, block, value=0)
-    out = _pallas_gather_flat(table_pad, idx_flat)
-    return out[:n].reshape(shape)
+    out = _pallas_gather(table, idx_flat)
+    return out[:, :n].reshape((nbatch,) + idx.shape)
 
 
-def _bin_gather_fwd(table, idx, nbins):
-    return _bin_gather_impl(table, idx, nbins), (idx, table.shape[0], table.dtype)
-
-
-def _bin_gather_bwd(nbins, res, cot):
-    idx, ntab, dtype = res
-    if not _on_tpu():
-        g = jax.ops.segment_sum(
-            cot.reshape(-1), idx.reshape(-1), num_segments=ntab
+def _scatter_impl(cot, idx, nb):
+    """Per-bin segment sums: cot (B, *idx.shape) -> (B, nb)."""
+    nbatch = cot.shape[0]
+    if not _use_pallas(nb):
+        seg = jax.vmap(
+            lambda c: jax.ops.segment_sum(c, idx.reshape(-1), num_segments=nb)
         )
-        return (g.astype(dtype), None)
-    npad = int(-(-ntab // 128) * 128)
+        return seg(cot.reshape(nbatch, -1))
+    npad = int(-(-nb // 128) * 128)
     idx_flat = idx.reshape(-1).astype(jnp.int32)
-    cot_flat = cot.reshape(-1).astype(jnp.float32)
+    cot_flat = cot.reshape(nbatch, -1)
     n = idx_flat.shape[0]
     block = _BLOCK_ROWS * 128
     if n % block != 0:
         # pad cotangent with zeros and indices with an out-of-range bin
         idx_flat = _pad_to(idx_flat, block, value=npad - 1)
-        cot_flat = _pad_to(cot_flat, block, value=0)
-    g = _pallas_scatter_flat(cot_flat, idx_flat, npad, jnp.float32)
-    return (g[:ntab].astype(dtype), None)
+        cot_flat = _pad_to(cot_flat, block, axis=1, value=0)
+    out = _pallas_scatter(cot_flat, idx_flat, npad)
+    return out[:, :nb]
 
 
-bin_gather.defvjp(_bin_gather_fwd, _bin_gather_bwd)
+def _abstract_eval(table, idx):
+    return jax.core.ShapedArray((table.shape[0],) + idx.shape, table.dtype)
+
+
+def _jvp_rule(primals, tangents):
+    table, idx = primals
+    t_dot, _ = tangents
+    out = bin_gather_p.bind(table, idx)
+    if isinstance(t_dot, ad.Zero):
+        return out, ad.Zero(jax.core.get_aval(out).to_tangent_aval())
+    return out, bin_gather_p.bind(t_dot, idx)
+
+
+def _transpose_rule(ct, table, idx):
+    assert ad.is_undefined_primal(table) and not ad.is_undefined_primal(idx)
+    nb = table.aval.shape[1]
+    if isinstance(ct, ad.Zero):
+        return ad.Zero(table.aval), None
+    return _scatter_impl(ct, idx, nb).astype(table.aval.dtype), None
+
+
+def _batching_rule(args, dims):
+    table, idx = args
+    tdim, idim = dims
+    if idim is not None:
+        # batched indices: fold the batch axis into the (arbitrary) index
+        # shape; with a shared table the semantics coincide.
+        if tdim is not None:
+            raise NotImplementedError(
+                "bin_gather: simultaneous table and index batching"
+            )
+        idx = jnp.moveaxis(idx, idim, 0)
+        out = bin_gather_p.bind(table, idx)
+        return out, 1  # (B_table, B_idx, *rest) — idx batch lands at axis 1
+    table = jnp.moveaxis(table, tdim, 0)
+    bv, b0, nb = table.shape
+    out = bin_gather_p.bind(table.reshape(bv * b0, nb), idx)
+    return out.reshape((bv, b0) + idx.shape), 0
+
+
+bin_gather_p.def_impl(lambda table, idx: _gather_impl(table, idx))
+bin_gather_p.def_abstract_eval(_abstract_eval)
+ad.primitive_jvps[bin_gather_p] = _jvp_rule
+ad.primitive_transposes[bin_gather_p] = _transpose_rule
+batching.primitive_batchers[bin_gather_p] = _batching_rule
+mlir.register_lowering(
+    bin_gather_p, mlir.lower_fun(_gather_impl, multiple_results=False)
+)
+
+
+def bin_gather(table, idx, nbins=None):
+    """``table[idx]`` for a small 1-D table with a fast TPU path.
+
+    ``idx`` may have any shape (and is typically a static host constant);
+    the op is linear in ``table`` with the per-bin segment sum as its
+    exact transpose, safe under ``jit``/``vmap``/``jax.linearize``/
+    ``jax.linear_transpose``/``grad``.
+    """
+    idx = jnp.asarray(idx)
+    if table.ndim != 1:
+        raise ValueError("bin_gather expects a 1-D table; vmap for batches")
+    return bin_gather_p.bind(table[None], idx)[0]
+
+
+def distribute_power(table, idx):
+    """Power/amplitude distributor: small-table fast path, else XLA gather.
+
+    The single entry point the correlated field uses; keeps one code path
+    on CPU (plain gather) and picks the Pallas kernel on TPU only when the
+    table is small enough for the select loop to win.
+    """
+    idx = np.asarray(idx) if not isinstance(idx, jax.Array) else idx
+    if table.ndim == 1 and _use_pallas(table.shape[0]):
+        return bin_gather(table, idx)
+    return table[idx]
