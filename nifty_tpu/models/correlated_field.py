@@ -134,8 +134,20 @@ def make_spherical_grid(lmax, nlat=None, nphi=None, *,
     )
 
 
-def make_grid(shape, distances, harmonic_type="fourier") -> RegularCartesianGrid:
-    """Build grid metadata incl. the power distributor (host precompute)."""
+def make_grid(shape, distances, harmonic_type="fourier",
+              n_bins: Optional[int] = None) -> RegularCartesianGrid:
+    """Build grid metadata incl. the power distributor (host precompute).
+
+    ``n_bins`` activates logarithmic power binning: the nonzero modes are
+    grouped into at most ``n_bins - 1`` log-uniform ``|k|`` bins (bin 0 is
+    the zero mode), the amplitude's IWP then lives on bin centers.  This
+    is the classic library's logarithmic ``PowerSpace`` binbounds
+    (``src/domains/power_space.py:91`` ``useful_binbounds``) and, on TPU,
+    keeps the power-distributor table small enough for the Pallas
+    small-table gather at any grid size (a 4096² grid has ~1.2M *unique*
+    mode lengths — log binning makes the spectrum resolution a
+    user-controlled constant instead).
+    """
     if harmonic_type.lower() in ("spherical", "sphere", "sh"):
         # `shape` is interpreted as lmax for spherical grids.
         return make_spherical_grid(shape)
@@ -148,6 +160,10 @@ def make_grid(shape, distances, harmonic_type="fourier") -> RegularCartesianGrid
         raise ValueError(f"invalid `harmonic_type` {harmonic_type!r}")
 
     m_length_idx, m_length, m_count = fourier_mode_distributor(shape, distances)
+    if n_bins is not None and m_length.size > n_bins:
+        m_length_idx, m_length, m_count = _log_binned_distributor(
+            m_length_idx, m_length, m_count, int(n_bins)
+        )
     # Relative log mode lengths: um[0] = 0 (zero mode), um[k>=1] =
     # log(k_len) - log(k_len[1]); log_volume are the log-k bin widths the
     # IWP deviations integrate over.
@@ -171,6 +187,31 @@ def make_grid(shape, distances, harmonic_type="fourier") -> RegularCartesianGrid
         distances=distances,
         harmonic_grid=harmonic_grid,
     )
+
+
+def _log_binned_distributor(m_length_idx, m_length, m_count, n_bins):
+    """Regroup unique-|k| modes into log-uniform bins (host precompute).
+
+    Bin 0 keeps the zero mode alone; the nonzero lengths are split into at
+    most ``n_bins - 1`` log-uniform bins (empty bins dropped).  Each bin's
+    representative length is the multiplicity-weighted mean of its member
+    lengths, matching the classic ``PowerSpace`` ``k_lengths`` convention
+    (``src/domains/power_space.py:222``).
+    """
+    k1, kmax = m_length[1], m_length[-1]
+    edges = np.exp(np.linspace(np.log(k1), np.log(kmax), n_bins))
+    # bin of each unique length: 0 for the zero mode; else the log bin
+    ub = np.zeros(m_length.size, dtype=np.int64)
+    ub[1:] = 1 + np.searchsorted(edges[1:-1], m_length[1:], side="right")
+    # drop empty bins by re-indexing densely
+    occupied, dense = np.unique(ub, return_inverse=True)
+    nb = occupied.size
+    w = m_count.astype(np.float64)
+    b_count = np.bincount(dense, weights=w, minlength=nb)
+    b_len = np.bincount(dense, weights=w * m_length, minlength=nb) / b_count
+    b_len[0] = 0.0
+    new_idx = dense[m_length_idx].astype(np.int32)
+    return new_idx, b_len, b_count.astype(np.int64)
 
 
 def _remove_slope(rel_log_mode_dist, x):
@@ -341,9 +382,14 @@ class CorrelatedFieldMaker:
         prefix: str = "",
         harmonic_type: str = "fourier",
         non_parametric_kind: str = "amplitude",
+        n_bins: Optional[int] = None,
     ):
-        """Add a non-parametric correlation structure on a new subgrid."""
-        grid = make_grid(shape, distances, harmonic_type)
+        """Add a non-parametric correlation structure on a new subgrid.
+
+        ``n_bins`` (TPU-native extension): logarithmically bin the power
+        spectrum to at most this many bins — see :func:`make_grid`.
+        """
+        grid = make_grid(shape, distances, harmonic_type, n_bins=n_bins)
         from ..stats import lognormal_moments
 
         self._fluct_logparams.append(
@@ -380,9 +426,10 @@ class CorrelatedFieldMaker:
         prefix: str = "",
         harmonic_type: str = "fourier",
         non_parametric_kind: str = "amplitude",
+        n_bins: Optional[int] = None,
     ):
         """Add a Matérn-kernel correlation structure on a new subgrid."""
-        grid = make_grid(shape, distances, harmonic_type)
+        grid = make_grid(shape, distances, harmonic_type, n_bins=n_bins)
         self._fluct_logparams.append(
             None  # matern `scale` has its own parametrization
         )
@@ -702,10 +749,12 @@ def SimpleCorrelatedField(
     prefix: str = "cf",
     harmonic_type: str = "fourier",
     hartley_fn=None,
+    n_bins: Optional[int] = None,
 ) -> Model:
     """Single-subdomain convenience correlated field.
 
-    Parity: ``src/library/correlated_fields_simple.py:38``.
+    Parity: ``src/library/correlated_fields_simple.py:38``; ``n_bins``
+    is the TPU-native log-binning extension (see :func:`make_grid`).
     """
     cfm = CorrelatedFieldMaker(prefix)
     cfm.set_amplitude_total_offset(offset_mean=offset_mean,
@@ -713,7 +762,7 @@ def SimpleCorrelatedField(
     cfm.add_fluctuations(
         shape, distances, fluctuations=fluctuations,
         loglogavgslope=loglogavgslope, flexibility=flexibility,
-        asperity=asperity, harmonic_type=harmonic_type,
+        asperity=asperity, harmonic_type=harmonic_type, n_bins=n_bins,
     )
     cf = cfm.finalize(hartley_fn=hartley_fn)
     cf.maker = cfm

@@ -36,10 +36,13 @@ import numpy as np
 from jax import numpy as jnp
 from jax.interpreters import ad, batching, mlir
 
-_BLOCK_ROWS = 16  # block = (_BLOCK_ROWS, 128) indices per grid step
+_BLOCK_ROWS = 128  # block = (_BLOCK_ROWS, 128) indices per grid step; large
+# blocks amortize the per-bin scalar-load/loop overhead over more vregs.
+_UNROLL = 8
 
-#: Largest table for which the select-loop kernel beats XLA's gather.
-SMALL_TABLE_MAX_BINS = 4096
+#: Largest table for which the select-loop kernel beats XLA's gather
+#: (measured crossover vs the XLA gather on TPU; see docs/design.md).
+SMALL_TABLE_MAX_BINS = 1024
 
 
 def _pad_to(x, mult, axis=0, value=0):
@@ -67,7 +70,8 @@ def _gather_kernel(idx_ref, table_ref, out_ref):
         return acc + jnp.where(ids == b, val, 0.0)
 
     out_ref[0] = lax.fori_loop(
-        0, nbins, body, jnp.zeros(ids.shape, dtype=out_ref.dtype)
+        0, nbins, body, jnp.zeros(ids.shape, dtype=out_ref.dtype),
+        unroll=_UNROLL,
     )
 
 
@@ -87,7 +91,7 @@ def _scatter_kernel(idx_ref, cot_ref, out_ref):
         out_ref[0, b] += jnp.sum(jnp.where(ids == b, cot, 0.0))
         return 0
 
-    lax.fori_loop(0, npad, body, 0)
+    lax.fori_loop(0, npad, body, 0, unroll=_UNROLL)
 
 
 def _pallas_gather(table2, idx_flat_pad):

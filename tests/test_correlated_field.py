@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 import nifty_tpu as jft
+from jax import random
 from tests.conftest import load_reference_re
 
 pmp = pytest.mark.parametrize
@@ -157,3 +158,38 @@ def test_prior_transforms_match_reference(key):
         jref.invgamma_prior(3.0, 2.0)(x), stats.invgamma_prior(3.0, 2.0)(x),
         rtol=1e-6,
     )
+
+
+def test_log_binned_power_spectrum():
+    """`n_bins` log-binning: conserved mode counts, matching statistics."""
+    from nifty_tpu.models.correlated_field import make_grid
+
+    g = make_grid((64, 64), 1.0 / 64, n_bins=64)
+    hg = g.harmonic_grid
+    assert hg.mode_lengths.size <= 64
+    assert int(np.sum(hg.mode_multiplicity)) == 64 * 64
+    assert np.all(np.diff(hg.mode_lengths) > 0)
+    assert hg.power_distributor.max() == hg.mode_lengths.size - 1
+    assert hg.power_distributor.min() == 0
+
+    def build(n_bins):
+        cfm = jft.CorrelatedFieldMaker("cf")
+        cfm.set_amplitude_total_offset(offset_mean=0.0, offset_std=(1e-1, 1e-2))
+        cfm.add_fluctuations(
+            (64, 64), 1.0 / 64, fluctuations=(1.0, 0.5),
+            loglogavgslope=(-3.0, 0.5), flexibility=(1.0, 0.5), n_bins=n_bins,
+        )
+        return cfm.finalize()
+
+    cf, cf_full = build(64), build(None)
+    key = random.PRNGKey(42)
+    stds, stds_full = [], []
+    for _ in range(20):
+        key, k = random.split(key)
+        stds.append(float(jnp.std(cf(cf.init(k)))))
+        stds_full.append(float(jnp.std(cf_full(cf_full.init(k)))))
+    assert abs(np.mean(stds) - np.mean(stds_full)) < 0.3 * np.mean(stds_full)
+    # binned latent is strictly smaller and the gradient is finite
+    p = cf.init(key)
+    g = jax.grad(lambda q: jnp.sum(cf(q) ** 2))(p)
+    assert all(np.all(np.isfinite(v)) for v in jax.tree_util.tree_leaves(g))
