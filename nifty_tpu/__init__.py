@@ -114,6 +114,8 @@ from .sample_io import (
 )
 from .solvers import newton_cg, static_cg
 from .solvers.lbfgs import lbfgs
+from .solvers.vlbfgs import vlbfgs
+from .solvers.descent import nonlinear_cg, steepest_descent
 from .solvers.trust_ncg import trust_ncg
 from .sugar import calculate_position, density_estimator
 from .variational import FullCovarianceVI, MeanFieldVI

@@ -302,4 +302,16 @@ def minimize(
         from .lbfgs import _lbfgs
 
         return _lbfgs(fun, x0, **options)
+    if method in ("vl-bfgs", "vlbfgs"):
+        from .vlbfgs import _vlbfgs
+
+        return _vlbfgs(fun, x0, **options)
+    if method in ("nonlinear-cg", "nonlinearcg", "nlcg"):
+        from .descent import _nonlinear_cg
+
+        return _nonlinear_cg(fun, x0, **options)
+    if method in ("steepest-descent", "steepestdescent", "sd"):
+        from .descent import _steepest_descent
+
+        return _steepest_descent(fun, x0, **options)
     raise ValueError(f"unknown method {method!r}")

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pmp = pytest.mark.parametrize
+
+import nifty_tpu as jft
 from nifty_tpu.solvers.cg import _static_cg, static_cg
 from nifty_tpu.solvers.newton_cg import _newton_cg, minimize, newton_cg
 
@@ -168,3 +171,65 @@ def test_minimize_lbfgs_dispatch():
     res = minimize(_rosen, jnp.zeros(5), method="l-bfgs",
                    options=dict(maxiter=500, gtol=1e-9))
     np.testing.assert_allclose(res.x, np.ones(5), atol=1e-6)
+
+
+@pmp("method", ["nonlinear-cg", "steepest-descent", "vl-bfgs"])
+def test_first_order_methods_quadratic(method):
+    """New descent methods reach the exact minimum of a convex quadratic."""
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((8, 8))
+    A = a @ a.T + 8 * np.eye(8)
+    b = rng.standard_normal(8)
+    xstar = np.linalg.solve(A, b)
+
+    def fun(x):
+        return 0.5 * x @ jnp.asarray(A) @ x - jnp.asarray(b) @ x
+
+    res = jft.minimize(fun, jnp.zeros(8), method=method,
+                       options={"maxiter": 500, "gtol": 1e-7})
+    assert res.success
+    np.testing.assert_allclose(res.x, xstar, rtol=1e-5, atol=1e-6)
+
+
+@pmp("method", ["nonlinear-cg", "vl-bfgs"])
+def test_first_order_methods_rosenbrock(method):
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1.0 - x[:-1]) ** 2)
+
+    res = jft.minimize(rosen, jnp.full(4, -0.5), method=method,
+                       options={"maxiter": 5000, "gtol": 1e-6})
+    np.testing.assert_allclose(res.x, np.ones(4), rtol=1e-4)
+
+
+def test_vlbfgs_matches_lbfgs_direction():
+    """VL-BFGS's Gram-matrix recursion reproduces L-BFGS trajectories."""
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1.0 - x[:-1]) ** 2)
+
+    x0 = jnp.full(6, -0.3)
+    r1 = jft.minimize(rosen, x0, method="l-bfgs",
+                      options={"maxiter": 60, "gtol": 0.0, "m": 6})
+    r2 = jft.minimize(rosen, x0, method="vl-bfgs",
+                      options={"maxiter": 60, "gtol": 0.0, "m": 6})
+    # identical math; allow only tiny float-order divergence
+    np.testing.assert_allclose(r2.fun, r1.fun, rtol=1e-3)
+
+
+def test_descent_methods_vmap():
+    """Batched lockstep minimization, matching per-item runs."""
+    def fun(x):
+        return jnp.sum((x - jnp.arange(3, dtype=x.dtype)) ** 4 + x ** 2)
+
+    x0s = jnp.stack([jnp.zeros(3), jnp.ones(3), -jnp.ones(3)])
+    batched = jax.vmap(
+        lambda x0: jft.minimize(fun, x0, method="nonlinear-cg",
+                                options={"maxiter": 200, "gtol": 1e-10}).x
+    )(x0s)
+    single = jnp.stack([
+        jft.minimize(fun, x0, method="nonlinear-cg",
+                     options={"maxiter": 200, "gtol": 1e-10}).x
+        for x0 in x0s
+    ])
+    np.testing.assert_allclose(batched, single, atol=1e-10)
