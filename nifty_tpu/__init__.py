@@ -27,7 +27,7 @@ from .field import (
     makeField,
     power_analyze,
 )
-from .ops.sht import SphericalHarmonicTransform
+from .ops.sht import SphericalHarmonicTransform, SphericalHarmonicTransformOnTheFly
 from .custom_map import lmap, smap
 from .config_driver import OptimizeKLConfig
 from .evidence_lower_bound import estimate_evidence_lower_bound

@@ -206,3 +206,184 @@ def alm2real(alm, lmax: int, mmax: Optional[int] = None):
         parts.append(inter)
         ofs += n
     return jnp.concatenate(parts)
+
+
+# -- on-the-fly (scan) formulation for large band limits ------------------
+
+def _packed_positions(lmax: int, mmax: int):
+    """Host map: (m, l) dense cell -> packed alm position (or -1)."""
+    pos = np.full((mmax + 1, lmax + 1), -1, dtype=np.int64)
+    ofs = 0
+    for m in range(mmax + 1):
+        n = lmax + 1 - m
+        pos[m, m:] = np.arange(ofs, ofs + n)
+        ofs += n
+    return pos
+
+
+class SphericalHarmonicTransformOnTheFly:
+    """Exact GL-grid SHT without precomputed Legendre tables.
+
+    For ``lmax ≳ 1000`` the dense table of
+    :class:`SphericalHarmonicTransform` — ``(lmax+1)² · nlat`` reals —
+    stops fitting in HBM (32 GB at lmax=2000).  This variant generates
+    Legendre rows *inside* a ``lax.scan`` over ``l`` (carrying the two
+    previous rows of the stable upward three-term recurrence; the
+    ``λ_mm`` diagonal is host-precomputed) and contracts them with the
+    ``a_lm`` columns on the fly: memory is O((mmax+1)·nlat), compute is
+    ~3× the table matmul's FLOPs but on the VPU (libsharp's on-the-fly
+    strategy; the reference reaches it through ducc,
+    ``src/operators/harmonic_operators.py:265``).
+
+    The analysis direction runs its own forward scan (the exact
+    transpose contraction); both directions are registered as a pair of
+    mutually-transposed linear primitives so
+    ``jit``/``vmap``/``jax.linearize``/``jax.linear_transpose`` all
+    compose without materializing per-``l`` residuals.
+
+    Note: float32 underflows ``λ_mm`` near the poles for very high m
+    (≳ 2000); use float64 off-TPU if the last digits at the band edge
+    matter.
+    """
+
+    def __init__(self, lmax: int, nlat: Optional[int] = None,
+                 nphi: Optional[int] = None, mmax: Optional[int] = None,
+                 dtype=None):
+        self.lmax = int(lmax)
+        self.mmax = int(mmax) if mmax is not None else self.lmax
+        self.nlat = int(nlat) if nlat is not None else self.lmax + 1
+        self.nphi = int(nphi) if nphi is not None else 2 * self.lmax + 2
+        if self.nphi < 2 * self.mmax + 1:
+            raise ValueError("nphi must be at least 2*mmax+1")
+        theta, w = gauss_legendre_quadrature(self.nlat)
+        self.theta, self.quad_weights = theta, w
+        from .. import config
+
+        dtype = dtype if dtype is not None else config.default_float_dtype()
+        self._dtype = dtype
+        cdtype = jnp.result_type(dtype, jnp.complex64)
+
+        ct, st = np.cos(theta), np.sin(theta)
+        # λ_mm diagonal rows for every l (host, f64): (lmax+1, nlat)
+        diag = np.empty((self.lmax + 1, self.nlat))
+        row = np.full(self.nlat, 1.0 / np.sqrt(4.0 * np.pi))
+        diag[0] = row
+        for m in range(1, self.lmax + 1):
+            row = -np.sqrt(1.0 + 1.0 / (2.0 * m)) * st * row
+            diag[m] = row
+        ct_j = np.asarray(ct, dtype=dtype)
+        diag_j = np.asarray(diag, dtype=dtype)
+        m_idx = np.arange(self.mmax + 1, dtype=np.int32)
+        ls = np.arange(self.lmax + 1, dtype=np.int32)
+        lmax_, mmax_, nlat_ = self.lmax, self.mmax, self.nlat
+
+        def _rec_coeffs(l):
+            # factored forms keep f32 exact-ish at large l
+            lf = l.astype(ct_j.dtype)
+            mf = m_idx.astype(ct_j.dtype)
+            active = m_idx < l
+            den_a = jnp.where(active, (lf - mf) * (lf + mf), 1.0)
+            a = jnp.sqrt((2.0 * lf - 1.0) * (2.0 * lf + 1.0) / den_a)
+            num_b = jnp.where(active, (lf - 1.0 - mf) * (lf - 1.0 + mf), 0.0)
+            den_b = jnp.where(l >= 2, (2.0 * lf - 3.0) * (2.0 * lf - 1.0), 1.0)
+            b = jnp.sqrt(jnp.maximum(num_b / den_b, 0.0))
+            return active, a, b
+
+        def _step_rows(carry, l, diag_l):
+            prev, prev2 = carry
+            active, a, b = _rec_coeffs(l)
+            rec = a[:, None] * (ct_j[None, :] * prev - b[:, None] * prev2)
+            cur = jnp.where(active[:, None], rec, 0.0)
+            cur = jnp.where(
+                (m_idx[:, None] == l) & (m_idx[:, None] <= mmax_),
+                diag_l[None, :].astype(cur.dtype), cur,
+            )
+            return (cur, prev), cur
+
+        def synth(A):
+            """(mmax+1, lmax+1) complex -> F (nlat, mmax+1) complex."""
+            def step(carry, xs):
+                (prev, prev2, acc) = carry
+                l, diag_l, A_l = xs
+                (cur, prv), _ = _step_rows((prev, prev2), l, diag_l)
+                acc = acc + A_l[:, None] * cur
+                return (cur, prv, acc), None
+
+            z = jnp.zeros((mmax_ + 1, nlat_), dtype=ct_j.dtype)
+            acc0 = jnp.zeros((mmax_ + 1, nlat_), dtype=A.dtype)
+            (c, p, acc), _ = jax.lax.scan(
+                step, (z, z, acc0), (jnp.asarray(ls), jnp.asarray(diag_j), A.T)
+            )
+            return acc.T
+
+        def synth_T(F):
+            """Transpose: (nlat, mmax+1) -> (mmax+1, lmax+1)."""
+            Ft = F.T  # (mmax+1, nlat)
+
+            def step(carry, xs):
+                l, diag_l = xs
+                (cur, prv), _ = _step_rows(carry, l, diag_l)
+                y = jnp.sum(cur * Ft, axis=1)
+                return (cur, prv), y
+
+            z = jnp.zeros((mmax_ + 1, nlat_), dtype=ct_j.dtype)
+            _, ys = jax.lax.scan(
+                step, (z, z), (jnp.asarray(ls), jnp.asarray(diag_j))
+            )
+            return ys.T
+
+        from .linear_prim import make_linear_pair
+        import jax.core as _core
+
+        self._synth, self._synth_T = make_linear_pair(
+            "sht_legendre", synth, synth_T,
+            lambda x: _core.ShapedArray((nlat_, mmax_ + 1), x.dtype),
+            lambda y: _core.ShapedArray((mmax_ + 1, lmax_ + 1), y.dtype),
+        )
+        self._w = jnp.asarray(w, dtype=dtype)
+        pos = _packed_positions(self.lmax, self.mmax)
+        self._unpack_rows, self._unpack_cols = np.nonzero(pos >= 0)
+        self._unpack_src = pos[self._unpack_rows, self._unpack_cols]
+        self._cdtype = cdtype
+
+    @property
+    def n_alm(self) -> int:
+        return n_alm(self.lmax, self.mmax)
+
+    @property
+    def grid_shape(self):
+        return (self.nlat, self.nphi)
+
+    def _unpack(self, alm):
+        A = jnp.zeros((self.mmax + 1, self.lmax + 1), dtype=alm.dtype)
+        return A.at[self._unpack_rows, self._unpack_cols].set(
+            alm[self._unpack_src]
+        )
+
+    def _pack(self, A):
+        return A[self._unpack_rows, self._unpack_cols]
+
+    def alm2map(self, alm):
+        """Synthesis: packed complex alm -> real map (nlat, nphi)."""
+        A = self._unpack(alm.astype(self._cdtype))
+        F = self._synth(A)
+        n_half = self.nphi // 2 + 1
+        G = jnp.zeros((self.nlat, n_half), dtype=F.dtype)
+        G = G.at[:, : self.mmax + 1].set(F)
+        return jnp.fft.irfft(self.nphi * G, n=self.nphi, axis=1)
+
+    def map2alm(self, m_arr):
+        """Analysis (exact on the GL grid): real map -> packed alm."""
+        F = jnp.fft.rfft(m_arr, axis=1)[:, : self.mmax + 1]
+        F = F * (2.0 * np.pi / self.nphi)
+        Fw = F * self._w[:, None]
+        return self._pack(self._synth_T(Fw))
+
+    def real2alm(self, x):
+        return real2alm(x, self.lmax, self.mmax)
+
+    def alm2real(self, alm):
+        return alm2real(alm, self.lmax, self.mmax)
+
+    def synthesize_real(self, x):
+        return self.alm2map(self.real2alm(x))

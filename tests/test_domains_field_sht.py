@@ -289,3 +289,55 @@ def test_sht_mmax_lt_lmax(rng):
         np.asarray(sht.map2alm(sht.alm2map(alm))), np.asarray(alm),
         atol=1e-12,
     )
+
+
+class TestOnTheFlySHT:
+    """Scan-formulated SHT must reproduce the table-formulated SHT."""
+
+    def _pair(self, lmax, mmax=None):
+        from nifty_tpu.ops.sht import (
+            SphericalHarmonicTransform, SphericalHarmonicTransformOnTheFly,
+        )
+
+        t = SphericalHarmonicTransform(lmax, mmax=mmax, dtype=jnp.float64)
+        o = SphericalHarmonicTransformOnTheFly(lmax, mmax=mmax,
+                                               dtype=jnp.float64)
+        return t, o
+
+    @pytest.mark.parametrize("lmax,mmax", [(16, None), (24, 10), (33, 33)])
+    def test_matches_table(self, lmax, mmax):
+        t, o = self._pair(lmax, mmax)
+        rng = np.random.default_rng(7)
+        alm = jnp.asarray(rng.standard_normal(t.n_alm)
+                          + 1j * rng.standard_normal(t.n_alm))
+        m1, m2 = t.alm2map(alm), o.alm2map(alm)
+        np.testing.assert_allclose(m2, m1, rtol=0, atol=1e-13 * float(jnp.abs(m1).max()))
+        a1, a2 = t.map2alm(m1), o.map2alm(m1)
+        np.testing.assert_allclose(a2, a1, rtol=0, atol=1e-13 * float(jnp.abs(a1).max()))
+
+    def test_grad_and_vmap_match_table(self):
+        t, o = self._pair(16)
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((17) ** 2))
+        g1 = jax.grad(lambda q: jnp.sum(t.synthesize_real(q) ** 2))(x)
+        g2 = jax.grad(lambda q: jnp.sum(o.synthesize_real(q) ** 2))(x)
+        scale = float(jnp.abs(g1).max())
+        np.testing.assert_allclose(g2, g1, rtol=0, atol=1e-11 * scale)
+        xb = jnp.stack([x, 2 * x, -x])
+        mb = jax.vmap(o.synthesize_real)(xb)
+        np.testing.assert_allclose(mb[1], 2 * mb[0], rtol=1e-12)
+
+    def test_linearize_transpose_consistent_with_table(self):
+        """The custom primitive pair must transpose exactly like the
+        traced table implementation (incl. the irfft R-linearity)."""
+        t, o = self._pair(12)
+        rng = np.random.default_rng(9)
+        alm = jnp.asarray(rng.standard_normal(t.n_alm)
+                          + 1j * rng.standard_normal(t.n_alm))
+        v = jnp.asarray(rng.standard_normal(t.grid_shape))
+        cts = []
+        for s in (t, o):
+            _, lin = jax.linearize(lambda a: s.alm2map(a), alm)
+            (ct,) = jax.linear_transpose(lin, alm)(v)
+            cts.append(ct)
+        np.testing.assert_allclose(cts[1], cts[0], rtol=1e-12)
