@@ -54,6 +54,9 @@ class HEALPixSHT:
         self._sin = jnp.asarray(np.sin(phi[:, None] * ms[None, :]), dtype=dtype)
         # quadrature weights: equal-area pixels
         self._w = 4.0 * np.pi / self.npix
+        self._ring_theta = ring_theta
+        self._ring_of_pix_np = ring_of_pix
+        self._ring_weights = None  # lazy (host solve)
         self._dtype = dtype
 
     @property
@@ -121,3 +124,72 @@ class HEALPixSHT:
         j = self.map2alm_adjoint(m_arr)
         res = _static_cg(normal_op, j, resnorm=tol, maxiter=maxiter)
         return res.x
+
+    def _get_ring_weights(self):
+        if self._ring_weights is None:
+            self._ring_weights = healpix_ring_weights(
+                self._ring_theta, self._ring_of_pix_np, self.npix,
+                2 * self.nside,
+            )
+        return self._ring_weights
+
+    def map2alm_weighted(self, m_arr):
+        """One-shot analysis with exact-quadrature ring weights.
+
+        Per-ring corrections to the equal-area pixel weight are solved on
+        the host so that the HEALPix quadrature integrates all Legendre
+        polynomials up to ~2·nside exactly (the scheme ducc ships as
+        ``get_ringweights``; the reference consumes it through healpy /
+        ducc).  For maps band-limited well below that, this matches the
+        CG analysis without any iteration."""
+        rw = jnp.asarray(self._get_ring_weights(), dtype=self._dtype)
+        corr = rw[self._ring_of_pix]
+        mw = m_arr * corr * self._w
+        re = jnp.einsum("pm,p->mp", self._cos, mw,
+                        precision=jax.lax.Precision.HIGHEST)
+        im = -jnp.einsum("pm,p->mp", self._sin, mw,
+                         precision=jax.lax.Precision.HIGHEST)
+        Fp = re + 1j * im
+        F = jax.vmap(
+            lambda row: jax.ops.segment_sum(
+                row, self._ring_of_pix, num_segments=self._nrings
+            )
+        )(Fp)
+        # NOTE: no (1, 2, 2, ...) fold factor here — that belongs to the
+        # *synthesis* (folding the ±m pair of a real map); the quadrature
+        # analysis integrates e^{-imφ} directly.
+        A = jnp.einsum("mtl,mt->ml", self._lam, F,
+                       precision=jax.lax.Precision.HIGHEST)
+        from .sht import _pack_matrix_to_alm
+
+        return _pack_matrix_to_alm(A, self.lmax, self.mmax)
+
+def healpix_ring_weights(ring_theta, ring_of_pix, npix, lmax_quad):
+    """Per-ring quadrature correction factors (host, float64).
+
+    Find w_r ≥ 0-ish with Σ_p (4π/npix)·w_{r(p)}·P_l(z_p) = 4π·δ_{l0} for
+    all l ≤ lmax_quad (odd l vanish by the N–S ring symmetry).  With
+    pixels grouped per ring and n_r pixels on ring r this is a small
+    dense least-squares problem over the ~4·nside−1 rings, solved once in
+    numpy f64.  Equivalent in spirit to ducc's ring-weight computation
+    (the reference consumes it via healpy ``map2alm(..., use_weights)``).
+    """
+    nr = ring_theta.size
+    n_per_ring = np.bincount(ring_of_pix, minlength=nr).astype(np.float64)
+    z = np.cos(ring_theta)
+    # P_l(z_r) for even l up to lmax_quad via the stable recurrence.
+    ls = np.arange(0, int(lmax_quad) + 1)
+    P = np.zeros((ls.size, nr))
+    P[0] = 1.0
+    if ls.size > 1:
+        P[1] = z
+    for l in range(2, ls.size):
+        P[l] = ((2 * l - 1) * z * P[l - 1] - (l - 1) * P[l - 2]) / l
+    even = ls % 2 == 0
+    A = P[even] * n_per_ring[None, :] * (4.0 * np.pi / npix)
+    b = np.zeros(even.sum())
+    b[0] = 4.0 * np.pi
+    # Minimum-norm deviation from unit weights: solve for (w - 1).
+    resid = b - A @ np.ones(nr)
+    dw, *_ = np.linalg.lstsq(A, resid, rcond=None)
+    return 1.0 + dw

@@ -36,9 +36,10 @@ import numpy as np
 from jax import numpy as jnp
 from jax.interpreters import ad, batching, mlir
 
-_BLOCK_ROWS = 128  # block = (_BLOCK_ROWS, 128) indices per grid step; large
-# blocks amortize the per-bin scalar-load/loop overhead over more vregs.
-_UNROLL = 8
+_BLOCK_ROWS = 32  # block = (_BLOCK_ROWS, 128) indices per grid step; larger
+# blocks amortize the per-bin scalar-load/loop overhead over more vregs
+# (bounded: Mosaic compile time grows with block size x unroll).
+_UNROLL = 4
 
 #: Largest table for which the select-loop kernel beats XLA's gather
 #: (measured crossover vs the XLA gather on TPU; see docs/design.md).

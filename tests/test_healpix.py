@@ -1,6 +1,7 @@
 """HEALPix native-core tests (self-validating: bijections, round trips,
 the 24-seven-neighbor invariant, neighbor symmetry and locality)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -77,3 +78,27 @@ def test_neighbors_invariants(nside):
 def test_pix2vec_unit_norm():
     v = hp.pix2vec(8, np.arange(hp.npix(8)))
     np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-12)
+
+
+def test_healpix_one_shot_weighted_analysis():
+    """Ring-weight quadrature: one-shot analysis accuracy and the
+    weights' improvement over unit weights."""
+    from nifty_tpu.ops.healpix_sht import HEALPixSHT
+
+    rng = np.random.default_rng(0)
+    nside, lmax = 32, 16
+    s = HEALPixSHT(lmax, nside, dtype=jnp.float64)
+    alm = jnp.asarray(rng.standard_normal(s.n_alm)
+                      + 1j * rng.standard_normal(s.n_alm))
+    alm = alm.at[:lmax + 1].set(alm[:lmax + 1].real)
+    m = s.alm2map(alm)
+    al = np.asarray(alm)
+
+    a_w = np.asarray(s.map2alm_weighted(m))
+    rel_w = np.linalg.norm(a_w - al) / np.linalg.norm(al)
+    assert rel_w < 1e-5
+
+    s._ring_weights = np.ones_like(s._get_ring_weights())
+    a_u = np.asarray(s.map2alm_weighted(m))
+    rel_u = np.linalg.norm(a_u - al) / np.linalg.norm(al)
+    assert rel_w < rel_u / 50  # the solved weights must matter
