@@ -46,8 +46,10 @@ from .likelihood import (
     LikelihoodWithModel,
 )
 from .likelihood_impl import (
+    Bernoulli,
     Categorical,
     Gaussian,
+    InverseGamma,
     Poissonian,
     StudentT,
     VariableCovarianceGaussian,

@@ -302,3 +302,99 @@ class Categorical(Likelihood):
         return tree_map(
             lambda s, t, n: s * (t - s * n), sqrtp, tangents, norm
         )
+
+
+class Bernoulli(Likelihood):
+    """Bernoulli event likelihood; ``energy = -d^T log p - (1-d)^T log(1-p)``.
+
+    ``p`` are expected event frequencies in (0, 1); ``data`` holds events
+    (1) / non-events (0).  The Fisher metric is ``1/(p(1-p))`` and the
+    arcsine transformation ``2 asin(sqrt(p))`` maps to a unit-metric
+    space.  Capability parity: classic ``BernoulliEnergy``
+    (``src/operators/energy_operators.py:723``; absent from the
+    reference's JAX stack).
+    """
+
+    data: Any = dataclasses.field(metadata=dict(static=False))
+
+    def __init__(self, data, sampling_dtype=float):
+        dtp = result_type(data)
+        if not jnp.issubdtype(dtp, jnp.integer):
+            raise TypeError("Bernoulli `data` must have integer dtype")
+        self.data = data
+        shp = tree_map(_shape_with_dtype(sampling_dtype), data)
+        super().__init__(domain=shp, lsm_tangents_shape=shp)
+
+    def energy(self, primals):
+        return -vdot(tree_map(jnp.log, primals), self.data) + vdot(
+            tree_map(jnp.log1p, tree_map(operator.neg, primals)),
+            tree_map(lambda d: d - 1, self.data),
+        )
+
+    def metric(self, primals, tangents):
+        return tree_map(lambda t, p: t / (p * (1.0 - p)), tangents, primals)
+
+    def left_sqrt_metric(self, primals, tangents):
+        return tree_map(
+            lambda t, p: t / jnp.sqrt(p * (1.0 - p)), tangents, primals
+        )
+
+    def normalized_residual(self, primals):
+        res = tree_map(lambda d, p: d - p, self.data, primals)
+        return self.left_sqrt_metric(primals, res)
+
+    def transformation(self, primals):
+        return tree_map(lambda p: 2.0 * jnp.arcsin(jnp.sqrt(p)), primals)
+
+
+class InverseGamma(Likelihood):
+    """Inverse-gamma likelihood for a variance field ``x``:
+
+        ``energy = sum((alpha+1) log x + beta / x)``
+
+    — the likelihood of the variance ``x = S_k`` given ``beta = 0.5
+    |s_k|^2`` for a field ``s`` with covariance ``S_k``.  Transformation
+    ``sqrt(alpha+1) * log x`` (metric ``(alpha+1)/x^2``).  Capability
+    parity: classic ``InverseGammaEnergy``
+    (``src/operators/energy_operators.py:628``).  The normalized residual
+    reports ``lsm(2 beta - x)`` (zero-mean under the model) rather than
+    the classic constant-residual convention.
+    """
+
+    beta: Any = dataclasses.field(metadata=dict(static=False))
+    alpha: Any = dataclasses.field(metadata=dict(static=False))
+
+    def __init__(self, beta, alpha=-0.5, sampling_dtype=float):
+        self.beta = beta
+        self.alpha = tree_map(
+            lambda b: jnp.broadcast_to(jnp.asarray(alpha), jnp.shape(b)), beta
+        ) if not isinstance(alpha, type(beta)) or jnp.isscalar(alpha) else alpha
+        shp = tree_map(_shape_with_dtype(sampling_dtype), beta)
+        super().__init__(domain=shp, lsm_tangents_shape=shp)
+
+    def energy(self, primals):
+        ap1 = tree_map(lambda a: a + 1.0, self.alpha)
+        return vdot(tree_map(jnp.log, primals), ap1) + vdot(
+            tree_map(jnp.reciprocal, primals), self.beta
+        )
+
+    def metric(self, primals, tangents):
+        return tree_map(
+            lambda t, p, a: (a + 1.0) * t / (p * p),
+            tangents, primals, self.alpha,
+        )
+
+    def left_sqrt_metric(self, primals, tangents):
+        return tree_map(
+            lambda t, p, a: jnp.sqrt(a + 1.0) * t / p,
+            tangents, primals, self.alpha,
+        )
+
+    def normalized_residual(self, primals):
+        res = tree_map(lambda b, p: 2.0 * b - p, self.beta, primals)
+        return self.left_sqrt_metric(primals, res)
+
+    def transformation(self, primals):
+        return tree_map(
+            lambda p, a: jnp.sqrt(a + 1.0) * jnp.log(p), primals, self.alpha
+        )

@@ -37,9 +37,8 @@ from jax import numpy as jnp
 from jax.interpreters import ad, batching, mlir
 
 _BLOCK_ROWS = 32  # block = (_BLOCK_ROWS, 128) indices per grid step; larger
-# blocks amortize the per-bin scalar-load/loop overhead over more vregs
-# (bounded: Mosaic compile time grows with block size x unroll).
-_UNROLL = 4
+# blocks amortize the per-bin scalar-load/loop overhead over more vregs.
+# NOTE: Mosaic's fori_loop only supports unroll=1 or full unroll.
 
 #: Largest table for which the select-loop kernel beats XLA's gather
 #: (measured crossover vs the XLA gather on TPU; see docs/design.md).
@@ -71,8 +70,7 @@ def _gather_kernel(idx_ref, table_ref, out_ref):
         return acc + jnp.where(ids == b, val, 0.0)
 
     out_ref[0] = lax.fori_loop(
-        0, nbins, body, jnp.zeros(ids.shape, dtype=out_ref.dtype),
-        unroll=_UNROLL,
+        0, nbins, body, jnp.zeros(ids.shape, dtype=out_ref.dtype)
     )
 
 
@@ -84,15 +82,17 @@ def _scatter_kernel(idx_ref, cot_ref, out_ref):
     cot = cot_ref[0]
     npad = out_ref.shape[1]
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+    first = pl.program_id(1) == 0
 
     def body(b, _):
-        out_ref[0, b] += jnp.sum(jnp.where(ids == b, cot, 0.0))
+        # SMEM only supports scalar stores: fold the zero-init of the
+        # first grid step into the accumulation.
+        contrib = jnp.sum(jnp.where(ids == b, cot, 0.0))
+        prev = jnp.where(first, 0.0, out_ref[0, b])
+        out_ref[0, b] = prev + contrib
         return 0
 
-    lax.fori_loop(0, npad, body, 0, unroll=_UNROLL)
+    lax.fori_loop(0, npad, body, 0)
 
 
 def _pallas_gather(table2, idx_flat_pad):

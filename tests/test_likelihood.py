@@ -169,3 +169,33 @@ def test_normalized_residual_gaussian(rng):
     lh = jft.Gaussian(data, noise_cov_inv=lambda x: 4.0 * x)
     p = jnp.zeros(6)
     np.testing.assert_allclose(lh.normalized_residual(p), 2.0 * data, rtol=1e-12)
+
+
+def test_bernoulli_likelihood_calculus(rng):
+    d = jnp.asarray(rng.integers(0, 2, (12,)))
+    lh = jft.Bernoulli(d)
+    p = jnp.asarray(rng.uniform(0.1, 0.9, (12,)))
+    t = jnp.asarray(rng.standard_normal(12))
+    m1 = lh.metric(p, t)
+    m2 = lh.left_sqrt_metric(p, lh.right_sqrt_metric(p, t))
+    np.testing.assert_allclose(m2, m1, rtol=1e-12)
+    _, jt = jax.jvp(lh.transformation, (p,), (t,))
+    _, vjp = jax.vjp(lh.transformation, p)
+    np.testing.assert_allclose(vjp(jt)[0], m1, rtol=1e-12)
+    e2 = -jnp.sum(d * jnp.log(p) + (1 - d) * jnp.log(1 - p))
+    np.testing.assert_allclose(lh.energy(p), e2, rtol=1e-13)
+
+
+def test_inverse_gamma_likelihood_calculus(rng):
+    b = jnp.asarray(rng.uniform(0.5, 2.0, (12,)))
+    lh = jft.InverseGamma(b, alpha=1.5)
+    x = jnp.asarray(rng.uniform(0.5, 2.0, (12,)))
+    t = jnp.asarray(rng.standard_normal(12))
+    m1 = lh.metric(x, t)
+    m2 = lh.left_sqrt_metric(x, lh.right_sqrt_metric(x, t))
+    np.testing.assert_allclose(m2, m1, rtol=1e-12)
+    _, jt = jax.jvp(lh.transformation, (x,), (t,))
+    _, vjp = jax.vjp(lh.transformation, x)
+    np.testing.assert_allclose(vjp(jt)[0], m1, rtol=1e-12)
+    e2 = jnp.sum(2.5 * jnp.log(x) + b / x)
+    np.testing.assert_allclose(lh.energy(x), e2, rtol=1e-13)
