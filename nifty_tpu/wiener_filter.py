@@ -66,12 +66,16 @@ def draw_posterior_sample(
     data_proto,
     mean=None,
     R_adj: Optional[Callable] = None,
+    S_inv_sqrt: Optional[Callable] = None,
     cg_kwargs: Optional[dict] = None,
 ):
     """Sample from the Wiener posterior ``N(m, (R^T N^-1 R + S^-1)^-1)``.
 
     Uses the metric-sample + inverse-metric-CG construction (the same
     primitive as MGVI sampling, ``src/operators/sampling_enabler.py:64``).
+    Pass ``S_inv_sqrt`` when a closed form exists — the default
+    ``S_inv∘S_sqrt`` composition squares the condition number, which
+    costs accuracy in float32.
     """
     if R_adj is None:
         _, vjp = jax.vjp(R, tree_map(jnp.zeros_like, domain_proto))
@@ -81,7 +85,10 @@ def draw_posterior_sample(
     xi_d = random_like(k1, shape_dtype_like(data_proto))
     xi_s = random_like(k2, shape_dtype_like(domain_proto))
     # S^{-1/2} xi = S_inv(S_sqrt(xi)) for diagonal covariances
-    smpl = tree_add(R_adj(N_inv_sqrt(xi_d)), S_inv(S_sqrt(xi_s)))
+    prior_part = (
+        S_inv_sqrt(xi_s) if S_inv_sqrt is not None else S_inv(S_sqrt(xi_s))
+    )
+    smpl = tree_add(R_adj(N_inv_sqrt(xi_d)), prior_part)
     curv = wiener_filter_curvature(R, R_adj, N_inv, S_inv)
     res = _static_cg(curv, smpl, **(cg_kwargs or dict(resnorm=1e-8, maxiter=500)))
     sample = res.x
