@@ -40,9 +40,12 @@ _BLOCK_ROWS = 32  # block = (_BLOCK_ROWS, 128) indices per grid step; larger
 # blocks amortize the per-bin scalar-load/loop overhead over more vregs.
 # NOTE: Mosaic's fori_loop only supports unroll=1 or full unroll.
 
-#: Largest table for which the select-loop kernel beats XLA's gather
-#: (measured crossover vs the XLA gather on TPU; see docs/design.md).
+#: Largest table for which the select-loop kernel beats XLA's gather.
+#: Measured on TPU (see docs/design.md): gather wins 4-21x up to ~1k bins
+#: (1024^2/200 bins: 1.1 ms vs 9.2 ms; 4096^2/212: 6.5 ms vs 138.5 ms);
+#: the scalar-reduce scatter (transpose) only wins below ~300 bins.
 SMALL_TABLE_MAX_BINS = 1024
+SCATTER_MAX_BINS = 256
 
 
 def _pad_to(x, mult, axis=0, value=0):
@@ -187,7 +190,7 @@ def _gather_impl(table, idx):
 def _scatter_impl(cot, idx, nb):
     """Per-bin segment sums: cot (B, *idx.shape) -> (B, nb)."""
     nbatch = cot.shape[0]
-    if not _use_pallas(nb):
+    if not (_on_tpu() and nb <= SCATTER_MAX_BINS):
         seg = jax.vmap(
             lambda c: jax.ops.segment_sum(c, idx.reshape(-1), num_segments=nb)
         )
