@@ -8,7 +8,6 @@ filter solution.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import nifty_tpu as jft
 from nifty_tpu.evi import Samples, draw_linear_residual

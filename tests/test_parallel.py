@@ -18,7 +18,6 @@ from nifty_tpu.parallel import (
     make_mesh,
     pairwise_mean,
     pairwise_sum,
-    shard_position,
     shard_samples,
     tree_pairwise_mean,
 )

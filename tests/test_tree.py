@@ -13,7 +13,6 @@ from nifty_tpu.tree import (
     random_like,
     size,
     stack,
-    tree_add,
     unite,
     unstack,
     vdot,
