@@ -52,9 +52,9 @@ def _unfold_hermitian(half, full_shape, axes):
     # to conj of stored indices n_last-k, with the *other* mapped axes
     # reversed as well.
     def reverse_axis(arr, ax):
-        n = arr.shape[ax]
-        idx = (-jnp.arange(n)) % n
-        return jnp.take(arr, idx, axis=ax)
+        # index map k -> (-k) mod n == roll(flip(arr), 1): lowers to XLA
+        # reverse + rotate instead of a (slow on TPU) general gather.
+        return jnp.roll(jnp.flip(arr, axis=ax), 1, axis=ax)
 
     tail_src = jax.lax.slice_in_dim(half, 1, n_last - n_half + 1, axis=ax_last)
     tail = jnp.flip(tail_src, axis=ax_last)
