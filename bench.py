@@ -88,9 +88,12 @@ def bench_ours():
         pos=jft.random_like(jax.random.PRNGKey(1), lh.domain),
         samples=None, keys=None,
     )
-    # Warm-up (compile everything)
-    samples, state = opt.update(samples, state)
-    jax.block_until_ready(samples.pos)
+    # Warm-up (compile everything): two iterations — the first has an
+    # empty-sample pytree structure and compiles a different program than
+    # the steady state.
+    for _ in range(2):
+        samples, state = opt.update(samples, state)
+        jax.block_until_ready(samples.pos)
     t0 = time.perf_counter()
     for _ in range(N_ITERS_TIMED):
         samples, state = opt.update(samples, state)

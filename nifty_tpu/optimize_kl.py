@@ -39,6 +39,7 @@ from jax.tree_util import tree_map
 
 from .evi import (
     Samples,
+    _no_jit,
     _parse_jit,
     draw_linear_residual,
     nonlinearly_update_residual,
@@ -372,14 +373,107 @@ class OptimizeVI:
         )
         return OptimizeVIState(nit, key, config=config)
 
+    @staticmethod
+    def _resolve_sample_mode(sample_mode, n_samples, n_keys):
+        """The mode FSM: `_sample` (reuse keys) degrades to `_resample` when
+        the requested sample count does not match the stored keys."""
+        if n_samples == 0:
+            return ""
+        mode = sample_mode.lower()
+        if n_samples != n_keys and mode == "nonlinear_update":
+            return "nonlinear_resample"
+        if n_samples != n_keys and mode.endswith("_sample"):
+            return mode.replace("_sample", "_resample")
+        return mode
+
+    def _build_fused_update(
+        self,
+        *,
+        mode: str,
+        n_samples: int,
+        point_estimates,
+        draw_linear_kwargs,
+        nonlinearly_update_kwargs,
+        kl_kwargs,
+    ):
+        """One XLA program for the full VI iteration (draw + curve + KL).
+
+        The reference must run these as separate host-dispatched stages
+        (its nonlinear update and Newton-CG are Python loops,
+        ``src/re/optimize_kl.py:499-571``); here every stage is traceable,
+        so a single ``jit`` removes all intermediate host round-trips and
+        lets XLA overlap the stages' kernels.
+        """
+        kl_kwargs = dict(kl_kwargs)
+        minimize = kl_kwargs.pop("minimize", _newton_cg)
+        minimize_kwargs = kl_kwargs.pop("minimize_kwargs", {})
+
+        def step(samples: Samples, key):
+            key, sk = random.split(key, 2)
+            st_smpls = jnp.zeros(())
+            if mode in ("linear_resample", "linear_sample",
+                        "nonlinear_resample", "nonlinear_sample"):
+                k_smpls = samples.keys
+                if mode.endswith("_resample"):
+                    k_smpls = random.split(sk, n_samples)
+                sampler = partial(
+                    draw_linear_residual, self.likelihood,
+                    point_estimates=point_estimates, **draw_linear_kwargs,
+                )
+                smpls, st_smpls = self.residual_map(
+                    sampler, in_axes=(None, 0)
+                )(samples.pos, k_smpls)
+                neg = tree_map(jnp.negative, smpls)
+                samples = Samples(
+                    pos=samples.pos,
+                    samples=concatenate_zip(smpls, neg),
+                    keys=k_smpls,
+                )
+            if mode.startswith("nonlinear"):
+                curver = partial(
+                    nonlinearly_update_residual, self.likelihood,
+                    point_estimates=point_estimates,
+                    **nonlinearly_update_kwargs,
+                )
+                metric_sample_key = concatenate_zip(*((samples.keys,) * 2))
+                sgn = jnp.ones(len(samples.keys))
+                sgn = concatenate_zip(sgn, -sgn)
+                smpls, st_smpls = self.residual_map(
+                    curver, in_axes=(None, 0, 0, 0)
+                )(samples.pos, samples._samples, metric_sample_key, sgn)
+                samples = Samples(
+                    pos=samples.pos, samples=smpls, keys=samples.keys
+                )
+            kl_opt_state = minimize(
+                None,
+                x0=samples.pos,
+                fun_and_grad=partial(
+                    self.kl_value_and_grad, primals_samples=samples
+                ),
+                hessp=partial(self.kl_metric, primals_samples=samples),
+                **minimize_kwargs,
+            )
+            samples = samples.at(kl_opt_state.x)
+            kl_opt_state = kl_opt_state._replace(
+                x=None, jac=None, hess=None, hess_inv=None
+            )
+            return samples, st_smpls, kl_opt_state, key
+
+        return self._kl_jit(step)
+
     def update(
         self,
         samples: Samples,
         state: OptimizeVIState,
         /,
+        fused: bool = True,
         **kwargs,
     ) -> tuple[Samples, OptimizeVIState]:
-        """One VI iteration: draw/update samples, then KL-minimize."""
+        """One VI iteration: draw/update samples, then KL-minimize.
+
+        With ``fused=True`` (default) and both jits enabled, the whole
+        iteration runs as a single compiled program — one device dispatch
+        instead of one per stage."""
         assert isinstance(samples, Samples)
         assert isinstance(state, OptimizeVIState)
         nit, key, config = state.nit, state.key, state.config
@@ -391,6 +485,35 @@ class OptimizeVI:
         nonlinearly_update_kwargs = _getitem_at_nit(
             config, "nonlinearly_update_kwargs", nit
         )
+        kl_kwargs = dict(_getitem_at_nit(config, "kl_kwargs", nit))
+
+        n_keys = 0 if samples.keys is None else len(samples.keys)
+        mode = self._resolve_sample_mode(sample_mode, n_samples, n_keys)
+        if (
+            fused
+            and not kwargs
+            and self._kl_jit is not _no_jit
+            and self._residual_jit is not _no_jit
+        ):
+            cfg = dict(
+                mode=mode,
+                n_samples=n_samples,
+                point_estimates=point_estimates,
+                draw_linear_kwargs=draw_linear_kwargs,
+                nonlinearly_update_kwargs=nonlinearly_update_kwargs,
+                kl_kwargs=kl_kwargs,
+            )
+            step = self._compiled(
+                "fused_update", self._build_fused_update, cfg
+            )
+            samples, st_smpls, kl_opt_state, key = step(samples, key)
+            return samples, state._replace(
+                nit=nit + 1,
+                key=key,
+                sample_state=st_smpls,
+                minimization_state=kl_opt_state,
+            )
+
         key, sk = random.split(key, 2)
         samples, st_smpls = self.draw_samples(
             samples,
@@ -403,7 +526,6 @@ class OptimizeVI:
             **kwargs,
         )
 
-        kl_kwargs = dict(_getitem_at_nit(config, "kl_kwargs", nit))
         kl_opt_state = self.kl_minimize(samples, **kl_kwargs, **kwargs)
         samples = samples.at(kl_opt_state.x)
         kl_opt_state = kl_opt_state._replace(
