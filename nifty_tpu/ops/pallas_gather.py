@@ -62,14 +62,16 @@ def _pad_to(x, mult, axis=0, value=0):
 
 def _gather_kernel(idx_ref, table_ref, out_ref):
     from jax import lax
+    from jax.experimental import pallas as pl
 
     ids = idx_ref[:]  # (BR, 128) int32
     nbins = table_ref.shape[1]
+    bidx = pl.program_id(0)  # table lives whole in SMEM; index the batch row
 
     # Mosaic-safe select-accumulate: loop over bins with scalar loads and
     # 2-D vector compare/select only (no reshapes across the lane dim).
     def body(b, acc):
-        val = table_ref[0, b]
+        val = table_ref[bidx, b]
         return acc + jnp.where(ids == b, val, 0.0)
 
     out_ref[0] = lax.fori_loop(
@@ -85,14 +87,15 @@ def _scatter_kernel(idx_ref, cot_ref, out_ref):
     cot = cot_ref[0]
     npad = out_ref.shape[1]
 
+    bidx = pl.program_id(0)  # output lives whole in SMEM; index the batch row
     first = pl.program_id(1) == 0
 
     def body(b, _):
         # SMEM only supports scalar stores: fold the zero-init of the
         # first grid step into the accumulation.
         contrib = jnp.sum(jnp.where(ids == b, cot, 0.0))
-        prev = jnp.where(first, 0.0, out_ref[0, b])
-        out_ref[0, b] = prev + contrib
+        prev = jnp.where(first, 0.0, out_ref[bidx, b])
+        out_ref[bidx, b] = prev + contrib
         return 0
 
     lax.fori_loop(0, npad, body, 0)
@@ -115,9 +118,10 @@ def _pallas_gather(table2, idx_flat_pad):
         in_specs=[
             pl.BlockSpec((_BLOCK_ROWS, 128), lambda b, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            # the small table lives in SMEM: the kernel reads it with
-            # scalar loads inside the bin loop
-            pl.BlockSpec((1, table_pad.shape[1]), lambda b, i: (b, 0),
+            # the small table lives whole in SMEM (all batch rows): the
+            # kernel reads it with scalar loads inside the bin loop;
+            # Mosaic requires non-final block dims be 1 or the full dim
+            pl.BlockSpec((nbatch, table_pad.shape[1]), lambda b, i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, _BLOCK_ROWS, 128), lambda b, i: (b, i, 0),
@@ -147,7 +151,7 @@ def _pallas_scatter(cot2, idx_flat_pad, npad):
             pl.BlockSpec((1, _BLOCK_ROWS, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, npad), lambda b, i: (b, 0),
+        out_specs=pl.BlockSpec((nbatch, npad), lambda b, i: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((nbatch, npad), cot2.dtype),
     )(idx2, cot3)
@@ -226,19 +230,30 @@ def _transpose_rule(ct, table, idx):
     nb = table.aval.shape[1]
     if isinstance(ct, ad.Zero):
         return ad.Zero(table.aval), None
-    return _scatter_impl(ct, idx, nb).astype(table.aval.dtype), None
+    out = bin_scatter_p.bind(ct, idx, nb=nb)
+    return out.astype(table.aval.dtype), None
 
 
 def _batching_rule(args, dims):
     table, idx = args
     tdim, idim = dims
+    if idim is not None and tdim is not None:
+        # Both batched along the same vmap axis (arises when linearize's
+        # partial-eval residualizes the index map per sample): fold the
+        # vmap axis into the bin axis and offset each batch member's
+        # indices into its own table slice — one unbatched bind with
+        # exact per-batch semantics.
+        table = jnp.moveaxis(table, tdim, 0)  # (Bv, B, nb)
+        idx = jnp.moveaxis(idx, idim, 0)  # (Bv, *ish)
+        bv, b0, nb = table.shape
+        tables = jnp.moveaxis(table, 0, 1).reshape(b0, bv * nb)
+        offs = jnp.arange(bv, dtype=idx.dtype) * nb
+        offs = offs.reshape((bv,) + (1,) * (idx.ndim - 1))
+        out = bin_gather_p.bind(tables, idx + offs)  # (B, Bv, *ish)
+        return out, 1
     if idim is not None:
         # batched indices: fold the batch axis into the (arbitrary) index
         # shape; with a shared table the semantics coincide.
-        if tdim is not None:
-            raise NotImplementedError(
-                "bin_gather: simultaneous table and index batching"
-            )
         idx = jnp.moveaxis(idx, idim, 0)
         out = bin_gather_p.bind(table, idx)
         return out, 1  # (B_table, B_idx, *rest) — idx batch lands at axis 1
@@ -255,6 +270,80 @@ ad.primitive_transposes[bin_gather_p] = _transpose_rule
 batching.primitive_batchers[bin_gather_p] = _batching_rule
 mlir.register_lowering(
     bin_gather_p, mlir.lower_fun(_gather_impl, multiple_results=False)
+)
+
+
+# -- scatter primitive (the gather's exact transpose) ----------------------
+#
+# bin_scatter_p :: cot (B, *ish), idx (*ish) -> (B, nb); per-bin segment
+# sums.  A first-class primitive so that transforms applied to a
+# *transposed* gather (e.g. `jax.linearize` of a metric that contains a
+# vjp, as in the geoVI sample update) never look inside the Pallas kernel.
+
+bin_scatter_p = jax.extend.core.Primitive("bin_scatter")
+
+
+def _scatter_abstract_eval(cot, idx, *, nb):
+    del idx
+    return jax.core.ShapedArray((cot.shape[0], nb), cot.dtype)
+
+
+def _scatter_jvp_rule(primals, tangents, *, nb):
+    cot, idx = primals
+    c_dot, _ = tangents
+    out = bin_scatter_p.bind(cot, idx, nb=nb)
+    if isinstance(c_dot, ad.Zero):
+        return out, ad.Zero(jax.core.get_aval(out).to_tangent_aval())
+    return out, bin_scatter_p.bind(c_dot, idx, nb=nb)
+
+
+def _scatter_transpose_rule(ct, cot, idx, *, nb):
+    assert ad.is_undefined_primal(cot) and not ad.is_undefined_primal(idx)
+    if isinstance(ct, ad.Zero):
+        return ad.Zero(cot.aval), None
+    return bin_gather_p.bind(ct, idx).astype(cot.aval.dtype), None
+
+
+def _scatter_batching_rule(args, dims, *, nb):
+    cot, idx = args
+    cdim, idim = dims
+    if idim is not None:
+        # batched indices: offset each batch member's bins into its own
+        # slice of a widened output, then unfold.
+        idx = jnp.moveaxis(idx, idim, 0)  # (Bv, *ish)
+        bv = idx.shape[0]
+        offs = jnp.arange(bv, dtype=idx.dtype) * nb
+        offs = offs.reshape((bv,) + (1,) * (idx.ndim - 1))
+        idx_off = idx + offs
+        if cdim is not None:
+            cot = jnp.moveaxis(cot, cdim, 1)  # (B, Bv, *ish)
+        else:
+            cot = jnp.broadcast_to(
+                cot[:, None], (cot.shape[0], bv) + cot.shape[1:]
+            )
+        out = bin_scatter_p.bind(cot, idx_off, nb=bv * nb)
+        b0 = out.shape[0]
+        return out.reshape(b0, bv, nb), 1
+    # cot-only batching: fold the vmap axis into the primitive batch axis
+    cot = jnp.moveaxis(cot, cdim, 0)  # (Bv, B, *ish)
+    bv, b0 = cot.shape[:2]
+    out = bin_scatter_p.bind(
+        cot.reshape((bv * b0,) + cot.shape[2:]), idx, nb=nb
+    )
+    return out.reshape(bv, b0, nb), 0
+
+
+bin_scatter_p.def_impl(lambda cot, idx, *, nb: _scatter_impl(cot, idx, nb))
+bin_scatter_p.def_abstract_eval(_scatter_abstract_eval)
+ad.primitive_jvps[bin_scatter_p] = _scatter_jvp_rule
+ad.primitive_transposes[bin_scatter_p] = _scatter_transpose_rule
+batching.primitive_batchers[bin_scatter_p] = _scatter_batching_rule
+mlir.register_lowering(
+    bin_scatter_p,
+    mlir.lower_fun(
+        lambda cot, idx, *, nb: _scatter_impl(cot, idx, nb),
+        multiple_results=False,
+    ),
 )
 
 

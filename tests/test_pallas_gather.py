@@ -91,3 +91,81 @@ def test_bin_gather_vmap_idx():
 
 def test_small_table_threshold_is_static():
     assert isinstance(SMALL_TABLE_MAX_BINS, int) and SMALL_TABLE_MAX_BINS >= 1024
+
+
+def test_bin_gather_vmap_both_table_and_idx():
+    """Simultaneous table+index batching (arises when linearize residualizes
+    the index map per sample inside a vmapped metric-CG)."""
+    rng = np.random.default_rng(3)
+    tables = jnp.asarray(rng.normal(size=(3, 7)))
+    idxs = jnp.asarray(rng.integers(0, 7, size=(3, 4, 5)))
+    out = jax.vmap(bin_gather, in_axes=(0, 0))(tables, idxs)
+    want = np.stack([np.asarray(t)[np.asarray(i)]
+                     for t, i in zip(tables, idxs)])
+    np.testing.assert_allclose(np.asarray(out), want)
+
+
+def test_bin_gather_vmap_both_grad():
+    rng = np.random.default_rng(4)
+    tables = jnp.asarray(rng.normal(size=(2, 5)))
+    idxs = jnp.asarray(rng.integers(0, 5, size=(2, 6)))
+
+    def loss(t, i):
+        return (bin_gather(t, i) ** 2).sum()
+
+    g = jax.vmap(jax.grad(loss), in_axes=(0, 0))(tables, idxs)
+    for b in range(2):
+        gw = jax.grad(loss)(tables[b], idxs[b])
+        np.testing.assert_allclose(np.asarray(g[b]), np.asarray(gw))
+
+
+def test_vmapped_metric_cg_with_forced_primitive(monkeypatch):
+    """End-to-end regression: a vmapped fused geoVI draw over a binned
+    correlated field must trace (this hit the simultaneous-batching case)."""
+    import nifty_tpu as jft
+    import nifty_tpu.models.correlated_field as cfm_mod
+    from nifty_tpu.evi import draw_linear_residual
+
+    monkeypatch.setattr(
+        cfm_mod, "distribute_power",
+        lambda table, idx: bin_gather(table, jnp.asarray(idx))
+        if table.ndim == 1 else table[idx],
+    )
+    cfm = jft.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(
+        (8, 8), distances=1.0 / 8, fluctuations=(1.0, 5e-1),
+        loglogavgslope=(-3.0, 2e-1), flexibility=(1e0, 5e-1),
+        asperity=(5e-1, 5e-2), n_bins=4,
+    )
+    cf = cfm.finalize()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    truth = cf(cf.init(k1))
+    data = truth + 0.1 * jax.random.normal(k2, truth.shape)
+    lh = jft.Gaussian(data, noise_cov_inv=lambda x: x / 0.01).amend(cf)
+    pos = jft.random_like(jax.random.PRNGKey(1), lh.domain)
+    keys = jax.random.split(k2, 2)
+
+    draw = jax.jit(jax.vmap(
+        lambda k: draw_linear_residual(lh, pos, k, cg_kwargs=dict(maxiter=3))[0]
+    ))
+    out = draw(keys)
+    # must match the plain-gather (XLA take) model exactly
+    monkeypatch.undo()
+    cfm2 = jft.CorrelatedFieldMaker("cf")
+    cfm2.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+    cfm2.add_fluctuations(
+        (8, 8), distances=1.0 / 8, fluctuations=(1.0, 5e-1),
+        loglogavgslope=(-3.0, 2e-1), flexibility=(1e0, 5e-1),
+        asperity=(5e-1, 5e-2), n_bins=4,
+    )
+    cf2 = cfm2.finalize()
+    lh2 = jft.Gaussian(data, noise_cov_inv=lambda x: x / 0.01).amend(cf2)
+    draw2 = jax.jit(jax.vmap(
+        lambda k: draw_linear_residual(lh2, pos, k, cg_kwargs=dict(maxiter=3))[0]
+    ))
+    out2 = draw2(keys)
+    for a, b in zip(jax.tree_util.tree_leaves(out),
+                    jax.tree_util.tree_leaves(out2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
