@@ -13,6 +13,7 @@ from typing import Callable
 
 import jax
 import numpy as np
+from jax.numpy import sum as jnp_sum
 from jax.tree_util import tree_leaves, tree_map
 
 from .likelihood import Likelihood
@@ -55,13 +56,23 @@ def check_linear_model(
         np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
                                    err_msg="f != jvp(f) for linear f")
     if assert_adjoint:
+        # Transposition via the *bilinear* pairing sum(a*b) — exact for
+        # real and complex linear maps alike (vdot's conjugation would
+        # test the conjugate-adjoint, which jax.vjp does not implement
+        # for C-linear maps).
         cot = _rand(k3, fx)
-        _, vjp = jax.vjp(f, x)
-        lhs_s = vdot(fx, cot)
-        rhs_s = vdot(x, vjp(cot)[0])
+        fT = jax.linear_transpose(f, x)
+
+        def pair(a, b):
+            return sum(
+                jnp_sum(u * v) for u, v in zip(tree_leaves(a), tree_leaves(b))
+            )
+
+        lhs_s = pair(fx, cot)
+        rhs_s = pair(x, fT(cot)[0])
         np.testing.assert_allclose(
             np.asarray(lhs_s), np.asarray(rhs_s), rtol=10 * rtol,
-            err_msg="adjointness violated",
+            err_msg="adjointness (transposition) violated",
         )
     return True
 
