@@ -54,10 +54,13 @@ def refinement_matrices(kernel: Callable, coarse_coords, fine_coords,
     cc = kernel(_pairwise_dist(coarse_coords, coarse_coords))
     fc = kernel(_pairwise_dist(fine_coords, coarse_coords))
     ff = kernel(_pairwise_dist(fine_coords, fine_coords))
-    cc = cc + jitter * jnp.eye(cc.shape[0], dtype=cc.dtype)
+    # relative jitter: the conditional covariance of deep levels is many
+    # orders of magnitude below the marginal variance
+    scale = jnp.max(jnp.abs(jnp.diag(ff)))
+    cc = cc + (jitter * scale) * jnp.eye(cc.shape[0], dtype=cc.dtype)
     olf = jax.scipy.linalg.solve(cc, fc.T, assume_a="pos").T
     fine_cov = ff - olf @ fc.T
-    fine_cov = fine_cov + jitter * jnp.eye(ff.shape[0], dtype=ff.dtype)
+    fine_cov = fine_cov + (jitter * scale) * jnp.eye(ff.shape[0], dtype=ff.dtype)
     ker_sqrt = jnp.linalg.cholesky(fine_cov)
     return olf, ker_sqrt
 
@@ -142,6 +145,13 @@ class RefinementField(Model):
 
     # -- host precompute ---------------------------------------------------
     def _build_matrices(self):
+        # Always precompute in f64 (design rule: host precompute is numpy
+        # f64): the conditional fine-level covariances span many orders of
+        # magnitude and their Cholesky breaks down in f32 beyond ~2 levels.
+        with jax.enable_x64():
+            return self._build_matrices_x64()
+
+    def _build_matrices_x64(self):
         chart, kernel = self.chart, self.kernel
         ndim = chart.ndim
         cov0_coords = chart.positions(0).reshape(-1, ndim)

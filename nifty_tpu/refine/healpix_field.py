@@ -118,9 +118,14 @@ class RefinementHPField(Model):
         super().__init__(domain=domain, init=init)
 
     def _build_matrices(self):
+        # Host precompute always in f64 (see RefinementField._build_matrices)
+        with jax.enable_x64():
+            if self.chart.radial_chart is not None:
+                return self._build_matrices_radial()
+            return self._build_matrices_sphere()
+
+    def _build_matrices_sphere(self):
         chart, kernel = self.chart, self.kernel
-        if chart.radial_chart is not None:
-            return self._build_matrices_radial()
         pos0 = jnp.asarray(chart.positions(0))
         cc0 = kernel(_pairwise_dist(pos0, pos0))
         cc0 = cc0 + 1e-10 * jnp.eye(cc0.shape[0], dtype=cc0.dtype)
