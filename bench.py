@@ -93,11 +93,13 @@ def bench_ours():
     # the steady state.
     for _ in range(2):
         samples, state = opt.update(samples, state)
-        jax.block_until_ready(samples.pos)
+        jax.block_until_ready((samples, state))
     t0 = time.perf_counter()
     for _ in range(N_ITERS_TIMED):
         samples, state = opt.update(samples, state)
-    jax.block_until_ready(samples.pos)
+    # Block on the FULL result tree: blocking on pos alone can return
+    # before stray leaves finish and under-measure the last iteration.
+    jax.block_until_ready((samples, state))
     dt = (time.perf_counter() - t0) / N_ITERS_TIMED
     return (2 * N_SAMPLES) / dt, float(state.minimization_state.fun)
 
