@@ -236,3 +236,62 @@ def test_residual_map_variants(key, residual_map):
         np.asarray(s_v.pos["cfxi"]), np.asarray(s_m.pos["cfxi"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_fused_update_matches_staged(key):
+    """The single-program fused update must reproduce the staged path
+    (same RNG keys; first-iteration agreement up to fp-scheduling noise
+    amplified by the CG)."""
+    import bench as B
+
+    def run(fused):
+        lh, _ = B._build(jft, (16, 16))
+        opt = jft.OptimizeVI(lh, n_total_iterations=5, residual_map="vmap")
+        state = opt.init_state(
+            jax.random.PRNGKey(7),
+            n_samples=2,
+            draw_linear_kwargs=dict(cg_kwargs=dict(maxiter=20)),
+            nonlinearly_update_kwargs=dict(minimize_kwargs=dict(
+                xtol=1e-3, maxiter=3, cg_kwargs=dict(maxiter=10))),
+            kl_kwargs=dict(minimize_kwargs=dict(
+                xtol=1e-4, maxiter=5, cg_kwargs=dict(maxiter=15))),
+            sample_mode="nonlinear_resample",
+        )
+        samples = jft.Samples(
+            pos=jft.random_like(jax.random.PRNGKey(1), lh.domain),
+            samples=None, keys=None,
+        )
+        samples, state = opt.update(samples, state, fused=fused)
+        return samples, state
+
+    s_f, st_f = run(True)
+    s_s, st_s = run(False)
+    assert np.all(np.asarray(s_f.keys) == np.asarray(s_s.keys))
+    for a, b in zip(jax.tree_util.tree_leaves(s_f.samples),
+                    jax.tree_util.tree_leaves(s_s.samples)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(st_f.minimization_state.fun),
+        float(st_s.minimization_state.fun), rtol=1e-6,
+    )
+
+
+def test_fused_update_map_path(key):
+    """MAP (n_samples=0) through the fused program."""
+    import bench as B
+
+    lh, _ = B._build(jft, (16, 16))
+    opt = jft.OptimizeVI(lh, n_total_iterations=5, residual_map="vmap")
+    state = opt.init_state(
+        jax.random.PRNGKey(7), n_samples=0,
+        kl_kwargs=dict(minimize_kwargs=dict(maxiter=5)),
+        sample_mode="nonlinear_resample",
+    )
+    samples = jft.Samples(
+        pos=jft.random_like(jax.random.PRNGKey(1), lh.domain),
+        samples=None, keys=None,
+    )
+    samples, state = opt.update(samples, state)
+    assert len(samples) == 0
+    assert np.isfinite(float(state.minimization_state.fun))
