@@ -18,7 +18,6 @@ Parity: reference ``src/re/evi.py`` (``sample_likelihood`` ``:78``,
 from __future__ import annotations
 
 from functools import partial
-from operator import getitem
 from typing import Any, Callable, Optional, Tuple, TypeVar, Union
 
 import jax
@@ -44,10 +43,12 @@ def _no_jit(x, **kwargs):
 
 
 def _parse_jit(jit):
-    if callable(jit):
-        return jit
+    """Normalize a jit knob: True/False select jax.jit / identity, a
+    callable is used as the jit transform itself."""
     if isinstance(jit, bool):
         return jax.jit if jit else _no_jit
+    if callable(jit):
+        return jit
     raise TypeError(f"expected `jit` to be callable or boolean; got {jit!r}")
 
 
@@ -253,7 +254,9 @@ class Samples:
     """Posterior samples stored as (expansion point, stacked residuals).
 
     A plain pytree — compatible with vmap/shard_map/jit and shardable over
-    the leading (sample) axis of ``samples``.  Parity:
+    the leading (sample) axis of ``samples``.  Absolute samples are always
+    materialized lazily as ``pos + residual``; only the residuals carry the
+    sample axis, so re-centering (``at``) is free.  Capability parity:
     ``src/re/evi.py:314-411``.
     """
 
@@ -265,52 +268,56 @@ class Samples:
         return self._pos
 
     @property
-    def samples(self):
-        smpls = self._samples
-        if smpls is None:
-            raise ValueError("no samples")
-        if self._pos is not None:
-            smpls = tree_map(lambda p, s: p[jnp.newaxis] + s, self._pos, smpls)
-        return smpls
-
-    @property
     def keys(self):
         return self._keys
 
-    def __len__(self):
+    def _residuals(self):
         if self._samples is None:
-            return 0
-        return jnp.shape(tree_leaves(self._samples)[0])[0]
+            raise ValueError(f"{type(self).__name__} holds no residuals")
+        return self._samples
+
+    def _offset(self, leaf_fn=lambda r: r):
+        """Absolute samples: ``pos`` broadcast against ``leaf_fn(residual)``."""
+        resid = self._residuals()
+        if self._pos is None:
+            return tree_map(leaf_fn, resid)
+        return tree_map(lambda p, r: p + leaf_fn(r), self._pos, resid)
+
+    @property
+    def samples(self):
+        return self._offset(lambda r: r)
+
+    def __len__(self):
+        leaves = tree_leaves(self._samples)
+        return int(leaves[0].shape[0]) if leaves else 0
 
     def __getitem__(self, index):
-        if self._samples is None:
-            raise ValueError("no samples")
-        get = partial(lambda i, b: getitem(b, i), index)
-        if self._pos is None:
-            return tree_map(get, self._samples)
-        return tree_map(lambda p, s: p + get(s), self._pos, self._samples)
+        return self._offset(lambda r: r[index])
 
     def __iter__(self):
-        for i in range(len(self)):
-            yield self[i]
+        return (self[i] for i in range(len(self)))
 
     def at(self, pos, old_pos=None):
-        """Move the expansion point; residuals stay fixed (or are
-        re-expressed relative to ``old_pos``)."""
-        if self._pos is not None and old_pos is None:
-            smpls = self._samples
-        elif old_pos is not None:
-            smpls = self.samples
-            smpls = tree_map(lambda p, s: s - p[jnp.newaxis], old_pos, smpls)
-        else:
-            raise ValueError("invalid combination of `pos` and `old_pos`")
-        return Samples(pos=pos, samples=smpls, keys=self._keys)
+        """Move the expansion point; residuals stay fixed (or, given
+        ``old_pos``, absolute samples are first re-expressed relative to
+        it)."""
+        if old_pos is not None:
+            resid = tree_map(
+                lambda q, s: s - q[jnp.newaxis], old_pos, self.samples
+            )
+            return Samples(pos=pos, samples=resid, keys=self._keys)
+        if self._pos is None:
+            raise ValueError(
+                "need `old_pos` to re-center samples without an expansion point"
+            )
+        return Samples(pos=pos, samples=self._samples, keys=self._keys)
 
     def squeeze(self):
-        smpls = tree_map(
+        """Merge the two leading (batch, sample) axes of stacked samples."""
+        resid = tree_map(
             lambda s: s.reshape((-1,) + s.shape[2:]), self._samples
         )
-        return Samples(pos=self._pos, samples=smpls, keys=self._keys)
+        return Samples(pos=self._pos, samples=resid, keys=self._keys)
 
     def tree_flatten(self):
         return ((self._pos, self._samples, self._keys), ())

@@ -36,3 +36,18 @@ def interpolate(xmin=-7.0, xmax=7.0, N=14000) -> Callable:
         return wrapper
 
     return decorator
+
+
+def host_callbacks_supported() -> bool:
+    """Whether the default backend can run host callbacks
+    (``jax.debug.callback`` / ``io_callback``).
+
+    Tunneled-TPU backends (axon) reject host send/recv; in-jit failure
+    signaling then falls back to info codes checked at the next host
+    boundary (see ``nifty_tpu.optimize_kl.OptimizeVI.update``).
+    """
+    try:
+        version = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        return True
+    return "axon" not in str(version)

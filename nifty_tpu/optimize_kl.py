@@ -11,15 +11,22 @@ TPU-first deltas versus the reference (``src/re/optimize_kl.py``):
 - ``residual_map`` defaults to ``vmap`` — the traceable Newton-CG makes
   the *nonlinear* geoVI update vmappable, so all samples update in one XLA
   program (the reference must ``lmap`` because its NCG is a Python loop);
+- the whole iteration optionally fuses into ONE jitted program
+  (draw + curve + KL), removing every intermediate host round-trip;
 - sample drawing and KL reductions are sharding-transparent: placing the
   sample axis on a mesh axis turns the mean reductions into ``psum``s over
   ICI (see :mod:`nifty_tpu.parallel`);
+- what the reference encodes as a string-valued sample-mode state machine
+  is a declarative lookup table here: each mode maps to a
+  :class:`SamplingPlan` of three booleans (draw / curve / fresh keys);
 - checkpoints are written from host numpy copies of the sample pytree +
-  PRNG key + iteration counter, safe to reload on any mesh.
+  PRNG key + iteration counter, safe to reload on any mesh; an
+  orbax/tensorstore array checkpoint (multi-host-safe) can be selected
+  with ``checkpoint_format="orbax"``.
 
-Parity: ``_StandardHamiltonian`` (``:62-81``), ``_kl_vg``/``_kl_met``
-(``:84-120``), ``concatenate_zip`` (``:123``), ``OptimizeVIState``
-(``:142``), ``OptimizeVI`` (``:155-571``), ``optimize_kl`` (``:574-697``).
+Capability parity: ``src/re/optimize_kl.py`` (``_StandardHamiltonian``
+``:62-81``, KL estimators ``:84-120``, sample-mode handling ``:349-407``,
+driver ``:574-697``).
 """
 
 from __future__ import annotations
@@ -77,22 +84,22 @@ class _StandardHamiltonian(LazyModel):
 
 
 def _kl_vg(likelihood, primals, primals_samples, *, map=jax.vmap, reduce=_reduce):
-    map = get_map(map)
-    ham = _StandardHamiltonian(likelihood)
-    if len(primals_samples) == 0:
-        return jax.value_and_grad(ham)(primals)
-    vvg = map(jax.value_and_grad(ham))
-    return reduce(vvg(primals_samples.at(primals).samples))
+    """Sample-averaged KL value and gradient (MAP energy when sampleless)."""
+    vg = jax.value_and_grad(_StandardHamiltonian(likelihood))
+    if not len(primals_samples):
+        return vg(primals)
+    xs = primals_samples.at(primals).samples
+    return reduce(get_map(map)(vg)(xs))
 
 
 def _kl_met(likelihood, primals, tangents, primals_samples, *, map=jax.vmap,
             reduce=_reduce):
-    map = get_map(map)
-    ham = _StandardHamiltonian(likelihood)
-    if len(primals_samples) == 0:
-        return ham.metric(primals, tangents)
-    vmet = map(ham.metric, in_axes=(0, None))
-    return reduce(vmet(primals_samples.at(primals).samples, tangents))
+    """Sample-averaged Fisher-metric application along ``tangents``."""
+    met = _StandardHamiltonian(likelihood).metric
+    if not len(primals_samples):
+        return met(primals, tangents)
+    xs = primals_samples.at(primals).samples
+    return reduce(get_map(map)(met, in_axes=(0, None))(xs, tangents))
 
 
 @jax.jit
@@ -104,15 +111,116 @@ def concatenate_zip(*arrays):
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class SamplingPlan:
+    """What the sampling stage of one VI iteration has to do.
+
+    ``draw``: run the linear (MGVI) residual draw; ``curve``: run the geoVI
+    nonlinear update on the residuals; ``fresh_keys``: split new PRNG keys
+    instead of reusing the stored ones.  ``None`` in place of a plan means
+    MAP — leave the (empty) sample set untouched.
+    """
+
+    draw: bool
+    curve: bool
+    fresh_keys: bool
+
+
+# Declarative replacement for the reference's string-mode state machine:
+# every user-facing mode is one row.
+_SAMPLING_PLANS = {
+    "linear_sample": SamplingPlan(draw=True, curve=False, fresh_keys=False),
+    "linear_resample": SamplingPlan(draw=True, curve=False, fresh_keys=True),
+    "nonlinear_sample": SamplingPlan(draw=True, curve=True, fresh_keys=False),
+    "nonlinear_resample": SamplingPlan(draw=True, curve=True, fresh_keys=True),
+    "nonlinear_update": SamplingPlan(draw=False, curve=True, fresh_keys=False),
+}
+
+def _recenter_and_slim(samples, res: OptimizeResults):
+    """Move the expansion point to the KL minimizer and drop the bulky
+    result fields (position/gradient/Hessian) — only scalars travel back
+    to the host."""
+    samples = samples.at(res.x)
+    res = res._replace(x=None, jac=None, hess=None, hess_inv=None)
+    return samples, res
+
+
+def _mirror_tags(keys):
+    """Per-sample (key, sign) tags for an antithetic batch: every stored key
+    appears twice, once with sign +1 and once with sign -1, in the same
+    interleaved order `concatenate_zip` stores the residual pairs."""
+    twice = concatenate_zip(keys, keys)
+    ones = jnp.ones(len(keys))
+    return twice, concatenate_zip(ones, -ones)
+
+
 SMPL_MODE_TYP = Literal[
-    "linear_sample",
-    "linear_resample",
-    "nonlinear_sample",
-    "nonlinear_resample",
-    "nonlinear_update",
+    "linear_sample", "linear_resample", "nonlinear_sample",
+    "nonlinear_resample", "nonlinear_update",
 ]
 SMPL_MODE_GENERIC_TYP = Union[SMPL_MODE_TYP, Callable[[int], SMPL_MODE_TYP]]
 DICT_OR_CALL4DICT_TYP = Union[Callable[[int], dict], dict]
+
+
+def plan_sampling(sample_mode, n_samples: int, n_stored: int):
+    """Resolve a sample mode into a :class:`SamplingPlan` (or ``None`` for
+    MAP).  A stored key set can only be reused for the same sample count;
+    any mismatch forces a fresh linear draw."""
+    if n_samples == 0:
+        return None
+    plan = _SAMPLING_PLANS.get(str(sample_mode).lower())
+    if plan is None:
+        raise ValueError(
+            f"invalid sample mode {sample_mode!r}; "
+            f"known modes: {tuple(_SAMPLING_PLANS)}"
+        )
+    if n_samples != n_stored:
+        plan = SamplingPlan(draw=True, curve=plan.curve, fresh_keys=True)
+    return plan
+
+
+def at_iteration(setting, nit: int):
+    """Resolve a per-iteration schedule entry: unary callables are evaluated
+    at the iteration index, anything else passes through unchanged."""
+    if callable(setting):
+        try:
+            n_par = len(inspect.signature(setting).parameters)
+        except (TypeError, ValueError):
+            n_par = -1
+        if n_par == 1:
+            return setting(nit)
+    return setting
+
+
+@dataclasses.dataclass(frozen=True)
+class VISchedule:
+    """Per-iteration configuration of the VI loop.
+
+    Every field may be a plain value or a unary callable of the global
+    iteration index (schedules-as-config, like the reference's
+    value-or-callable knobs).
+    """
+
+    n_samples: Any = None
+    sample_mode: Any = "nonlinear_resample"
+    point_estimates: Any = ()
+    constants: Any = ()
+    draw_linear_kwargs: Any = dataclasses.field(
+        default_factory=lambda: dict(cg_name=None, cg_kwargs=dict())
+    )
+    nonlinearly_update_kwargs: Any = dataclasses.field(
+        default_factory=lambda: dict(minimize_kwargs=dict())
+    )
+    kl_kwargs: Any = dataclasses.field(
+        default_factory=lambda: dict(minimize_kwargs=dict())
+    )
+
+    def resolve(self, nit: int) -> dict:
+        """All fields evaluated at iteration ``nit``."""
+        return {
+            f.name: at_iteration(getattr(self, f.name), nit)
+            for f in dataclasses.fields(self)
+        }
 
 
 class OptimizeVIState(NamedTuple):
@@ -120,14 +228,7 @@ class OptimizeVIState(NamedTuple):
     key: Any
     sample_state: Optional[Any] = None
     minimization_state: Optional[OptimizeResults] = None
-    config: dict = {}
-
-
-def _getitem_at_nit(config, key, nit):
-    c = config[key]
-    if callable(c) and len(inspect.getfullargspec(c).args) == 1:
-        return c(nit)
-    return c
+    config: Any = None
 
 
 def get_status_message(samples, state, residual=None, *, name="", map="vmap") -> str:
@@ -139,6 +240,11 @@ def get_status_message(samples, state, residual=None, *, name="", map="vmap") ->
     elif isinstance(state.sample_state, (np.ndarray, jax.Array)):
         nlsi = tuple(int(el) for el in np.atleast_1d(state.sample_state))
         msg_smpl = f"\n{name}: Linear sampling status {nlsi}"
+        if any(el < 0 for el in nlsi):
+            msg_smpl += (
+                f"\n{name}: WARNING metric CG failed (negative status: "
+                "non-positive-definite metric or NaN energy)"
+            )
     mini_res = ""
     if residual is not None:
         _, mini_res = minisanity(samples, residual, map=map)
@@ -152,6 +258,27 @@ def get_status_message(samples, state, residual=None, *, name="", map="vmap") ->
     )
 
 
+def _check_sampling_status(sample_state, draw_linear_kwargs) -> None:
+    """Host-boundary failure check: when the user asked for
+    ``_raise_nonposdef``, turn a negative linear-sampling info code into an
+    exception.  This is the raise path on backends without host callbacks
+    (the in-jit ``jax.debug.callback`` path covers the others; see
+    ``solvers/cg.py``)."""
+    if not (draw_linear_kwargs or {}).get("_raise_nonposdef", False):
+        return
+    status = sample_state
+    if isinstance(status, OptimizeResults):
+        status = status.status
+    if status is None:
+        return
+    status = np.asarray(status)
+    if np.issubdtype(status.dtype, np.number) and np.any(status < 0):
+        raise FloatingPointError(
+            f"metric CG failed during sample drawing (status={status}): "
+            "non-positive-definite metric or NaN energy"
+        )
+
+
 def _hashable(obj):
     """Canonicalize a config object (nested dicts/lists/scalars/callables)
     into a hashable key for the compiled-function cache."""
@@ -161,6 +288,8 @@ def _hashable(obj):
         )
     if isinstance(obj, (list, tuple)):
         return ("__seq__",) + tuple(_hashable(v) for v in obj)
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return (type(obj).__name__,) + _hashable(dataclasses.asdict(obj))
     try:
         hash(obj)
         return obj
@@ -180,16 +309,9 @@ class OptimizeVI:
     """
 
     def __init__(
-        self,
-        likelihood: Likelihood,
-        n_total_iterations: int,
-        *,
-        kl_jit=True,
-        residual_jit=True,
-        kl_map=jax.vmap,
-        residual_map="vmap",
-        kl_reduce=_reduce,
-        mirror_samples=True,
+        self, likelihood: Likelihood, n_total_iterations: int, *,
+        kl_jit=True, residual_jit=True, kl_map=jax.vmap,
+        residual_map="vmap", kl_reduce=_reduce, mirror_samples=True,
         _get_status_message: Optional[Callable] = None,
     ):
         if mirror_samples is False:
@@ -253,73 +375,47 @@ class OptimizeVI:
 
         curver = self._compiled("nonlinear_update", build, kwargs)
         assert len(samples.keys) == len(samples) // 2
-        metric_sample_key = concatenate_zip(*((samples.keys,) * 2))
-        sgn = jnp.ones(len(samples.keys))
-        sgn = concatenate_zip(sgn, -sgn)
+        tag_keys, tag_signs = _mirror_tags(samples.keys)
         smpls, smpls_states = curver(
-            samples.pos, samples._samples, metric_sample_key, sgn
+            samples.pos, samples._samples, tag_keys, tag_signs
         )
         smpls = Samples(pos=samples.pos, samples=smpls, keys=samples.keys)
         return smpls, smpls_states
 
     def draw_samples(
-        self,
-        samples: Samples,
-        *,
-        key,
-        sample_mode: SMPL_MODE_TYP,
-        n_samples: int,
-        point_estimates,
-        draw_linear_kwargs={},
-        nonlinearly_update_kwargs={},
-        **kwargs,
+        self, samples: Samples, *, key, sample_mode: SMPL_MODE_TYP,
+        n_samples: int, point_estimates, draw_linear_kwargs={},
+        nonlinearly_update_kwargs={}, **kwargs,
     ):
-        n_keys = 0 if samples.keys is None else len(samples.keys)
-        if n_samples == 0:
-            sample_mode = ""
-        elif n_samples != n_keys and sample_mode.lower() == "nonlinear_update":
-            sample_mode = "nonlinear_resample"
-        elif n_samples != n_keys and sample_mode.lower().endswith("_sample"):
-            sample_mode = sample_mode.replace("_sample", "_resample")
+        n_stored = 0 if samples.keys is None else len(samples.keys)
+        plan = plan_sampling(sample_mode, n_samples, n_stored)
+        if plan is None:
+            return samples, 0  # MAP: nothing to draw
 
-        mode = sample_mode.lower()
-        if mode in ("linear_resample", "linear_sample",
-                    "nonlinear_resample", "nonlinear_sample"):
-            k_smpls = samples.keys
-            if mode.endswith("_resample"):
-                k_smpls = random.split(key, n_samples)
-            assert n_samples == len(k_smpls)
+        st_smpls = None
+        if plan.draw:
+            keys = samples.keys
+            if plan.fresh_keys:
+                keys = random.split(key, n_samples)
             samples, st_smpls = self.draw_linear_samples(
-                samples.pos, k_smpls,
+                samples.pos, keys,
                 point_estimates=point_estimates,
                 **draw_linear_kwargs, **kwargs,
             )
-            if mode.startswith("nonlinear"):
-                samples, st_smpls = self.nonlinearly_update_samples(
-                    samples,
-                    point_estimates=point_estimates,
-                    **nonlinearly_update_kwargs, **kwargs,
-                )
-        elif mode == "nonlinear_update":
+        if plan.curve:
             samples, st_smpls = self.nonlinearly_update_samples(
                 samples,
                 point_estimates=point_estimates,
                 **nonlinearly_update_kwargs, **kwargs,
             )
-        elif mode == "":
-            samples, st_smpls = samples, 0  # MAP
-        else:
-            raise ValueError(f"invalid sample mode {sample_mode!r}")
         return samples, st_smpls
 
     # -- KL minimization --------------------------------------------------
 
     def kl_minimize(
-        self,
-        samples: Samples,
+        self, samples: Samples,
         minimize: Callable[..., OptimizeResults] = _newton_cg,
-        minimize_kwargs={},
-        **kwargs,
+        minimize_kwargs={}, **kwargs,
     ) -> OptimizeResults:
         def build(minimize=minimize, **cfg):
             def run(smpls):
@@ -344,10 +440,7 @@ class OptimizeVI:
     # -- driver -----------------------------------------------------------
 
     def init_state(
-        self,
-        key,
-        *,
-        nit=0,
+        self, key, *, nit=0,
         n_samples: Union[int, Callable[[int], int]],
         draw_linear_kwargs: DICT_OR_CALL4DICT_TYP = dict(
             cg_name=None, cg_kwargs=dict()
@@ -357,39 +450,23 @@ class OptimizeVI:
         ),
         kl_kwargs: DICT_OR_CALL4DICT_TYP = dict(minimize_kwargs=dict()),
         sample_mode: SMPL_MODE_GENERIC_TYP = "nonlinear_resample",
-        point_estimates=(),
-        constants=(),
+        point_estimates=(), constants=(),
     ) -> OptimizeVIState:
         if constants not in ((), None):
             raise NotImplementedError("`constants` is not implemented")
-        config = dict(
-            n_samples=n_samples,
-            sample_mode=sample_mode,
-            point_estimates=point_estimates,
-            constants=constants,
+        schedule = VISchedule(
+            n_samples=n_samples, sample_mode=sample_mode,
+            point_estimates=point_estimates, constants=constants,
             draw_linear_kwargs=draw_linear_kwargs,
             nonlinearly_update_kwargs=nonlinearly_update_kwargs,
             kl_kwargs=kl_kwargs,
         )
-        return OptimizeVIState(nit, key, config=config)
-
-    @staticmethod
-    def _resolve_sample_mode(sample_mode, n_samples, n_keys):
-        """The mode FSM: `_sample` (reuse keys) degrades to `_resample` when
-        the requested sample count does not match the stored keys."""
-        if n_samples == 0:
-            return ""
-        mode = sample_mode.lower()
-        if n_samples != n_keys and mode == "nonlinear_update":
-            return "nonlinear_resample"
-        if n_samples != n_keys and mode.endswith("_sample"):
-            return mode.replace("_sample", "_resample")
-        return mode
+        return OptimizeVIState(nit, key, config=schedule)
 
     def _build_fused_update(
         self,
         *,
-        mode: str,
+        plan: Optional[SamplingPlan],
         n_samples: int,
         point_estimates,
         draw_linear_kwargs,
@@ -411,10 +488,9 @@ class OptimizeVI:
         def step(samples: Samples, key):
             key, sk = random.split(key, 2)
             st_smpls = jnp.zeros(())
-            if mode in ("linear_resample", "linear_sample",
-                        "nonlinear_resample", "nonlinear_sample"):
+            if plan is not None and plan.draw:
                 k_smpls = samples.keys
-                if mode.endswith("_resample"):
+                if plan.fresh_keys:
                     k_smpls = random.split(sk, n_samples)
                 sampler = partial(
                     draw_linear_residual, self.likelihood,
@@ -429,18 +505,16 @@ class OptimizeVI:
                     samples=concatenate_zip(smpls, neg),
                     keys=k_smpls,
                 )
-            if mode.startswith("nonlinear"):
+            if plan is not None and plan.curve:
                 curver = partial(
                     nonlinearly_update_residual, self.likelihood,
                     point_estimates=point_estimates,
                     **nonlinearly_update_kwargs,
                 )
-                metric_sample_key = concatenate_zip(*((samples.keys,) * 2))
-                sgn = jnp.ones(len(samples.keys))
-                sgn = concatenate_zip(sgn, -sgn)
+                tag_keys, tag_signs = _mirror_tags(samples.keys)
                 smpls, st_smpls = self.residual_map(
                     curver, in_axes=(None, 0, 0, 0)
-                )(samples.pos, samples._samples, metric_sample_key, sgn)
+                )(samples.pos, samples._samples, tag_keys, tag_signs)
                 samples = Samples(
                     pos=samples.pos, samples=smpls, keys=samples.keys
                 )
@@ -453,21 +527,14 @@ class OptimizeVI:
                 hessp=partial(self.kl_metric, primals_samples=samples),
                 **minimize_kwargs,
             )
-            samples = samples.at(kl_opt_state.x)
-            kl_opt_state = kl_opt_state._replace(
-                x=None, jac=None, hess=None, hess_inv=None
-            )
+            samples, kl_opt_state = _recenter_and_slim(samples, kl_opt_state)
             return samples, st_smpls, kl_opt_state, key
 
         return self._kl_jit(step)
 
     def update(
-        self,
-        samples: Samples,
-        state: OptimizeVIState,
-        /,
-        fused: bool = True,
-        **kwargs,
+        self, samples: Samples, state: OptimizeVIState, /,
+        fused: bool = True, **kwargs,
     ) -> tuple[Samples, OptimizeVIState]:
         """One VI iteration: draw/update samples, then KL-minimize.
 
@@ -476,37 +543,32 @@ class OptimizeVI:
         instead of one per stage."""
         assert isinstance(samples, Samples)
         assert isinstance(state, OptimizeVIState)
-        nit, key, config = state.nit, state.key, state.config
+        nit, key = state.nit, state.key
+        cfg = state.config.resolve(nit)
+        kl_kwargs = dict(cfg["kl_kwargs"])
 
-        sample_mode = _getitem_at_nit(config, "sample_mode", nit)
-        point_estimates = _getitem_at_nit(config, "point_estimates", nit)
-        n_samples = _getitem_at_nit(config, "n_samples", nit)
-        draw_linear_kwargs = _getitem_at_nit(config, "draw_linear_kwargs", nit)
-        nonlinearly_update_kwargs = _getitem_at_nit(
-            config, "nonlinearly_update_kwargs", nit
-        )
-        kl_kwargs = dict(_getitem_at_nit(config, "kl_kwargs", nit))
-
-        n_keys = 0 if samples.keys is None else len(samples.keys)
-        mode = self._resolve_sample_mode(sample_mode, n_samples, n_keys)
+        n_stored = 0 if samples.keys is None else len(samples.keys)
+        plan = plan_sampling(cfg["sample_mode"], cfg["n_samples"], n_stored)
         if (
             fused
             and not kwargs
             and self._kl_jit is not _no_jit
             and self._residual_jit is not _no_jit
         ):
-            cfg = dict(
-                mode=mode,
-                n_samples=n_samples,
-                point_estimates=point_estimates,
-                draw_linear_kwargs=draw_linear_kwargs,
-                nonlinearly_update_kwargs=nonlinearly_update_kwargs,
-                kl_kwargs=kl_kwargs,
-            )
             step = self._compiled(
-                "fused_update", self._build_fused_update, cfg
+                "fused_update",
+                self._build_fused_update,
+                dict(
+                    plan=plan,
+                    n_samples=cfg["n_samples"],
+                    point_estimates=cfg["point_estimates"],
+                    draw_linear_kwargs=cfg["draw_linear_kwargs"],
+                    nonlinearly_update_kwargs=cfg["nonlinearly_update_kwargs"],
+                    kl_kwargs=kl_kwargs,
+                ),
             )
             samples, st_smpls, kl_opt_state, key = step(samples, key)
+            _check_sampling_status(st_smpls, cfg["draw_linear_kwargs"])
             return samples, state._replace(
                 nit=nit + 1,
                 key=key,
@@ -518,26 +580,23 @@ class OptimizeVI:
         samples, st_smpls = self.draw_samples(
             samples,
             key=sk,
-            sample_mode=sample_mode,
-            point_estimates=point_estimates,
-            n_samples=n_samples,
-            draw_linear_kwargs=draw_linear_kwargs,
-            nonlinearly_update_kwargs=nonlinearly_update_kwargs,
+            sample_mode=cfg["sample_mode"],
+            point_estimates=cfg["point_estimates"],
+            n_samples=cfg["n_samples"],
+            draw_linear_kwargs=cfg["draw_linear_kwargs"],
+            nonlinearly_update_kwargs=cfg["nonlinearly_update_kwargs"],
             **kwargs,
         )
 
+        _check_sampling_status(st_smpls, cfg["draw_linear_kwargs"])
         kl_opt_state = self.kl_minimize(samples, **kl_kwargs, **kwargs)
-        samples = samples.at(kl_opt_state.x)
-        kl_opt_state = kl_opt_state._replace(
-            x=None, jac=None, hess=None, hess_inv=None
-        )
-        state = state._replace(
+        samples, kl_opt_state = _recenter_and_slim(samples, kl_opt_state)
+        return samples, state._replace(
             nit=nit + 1,
             key=key,
             sample_state=st_smpls,
             minimization_state=kl_opt_state,
         )
-        return samples, state
 
     def run(self, samples, *args, **kwargs) -> tuple[Samples, OptimizeVIState]:
         state = self.init_state(*args, **kwargs)
@@ -553,18 +612,49 @@ def _to_host(tree):
     return tree_map(np.asarray, tree)
 
 
+# -- checkpointing ---------------------------------------------------------
+#
+# Two formats behind one pair of helpers.  "pickle" = a single host-numpy
+# pickle of (samples, state) — simple and exact, fine for one process.
+# "orbax" = tensorstore array checkpoint of the resumable payload (samples
+# tree + PRNG key + iteration counter) — every host writes only its own
+# shards, restore works on any mesh (SURVEY §5 checkpoint/resume).
+
+
+def _checkpoint_save(path: str, samples: Samples, state: OptimizeVIState,
+                     fmt: str) -> None:
+    if fmt == "pickle":
+        with open(path, "wb") as f:
+            pickle.dump(
+                (_to_host(samples), _to_host(state._replace(config=None))), f
+            )
+    elif fmt == "orbax":
+        from .sample_io import save_checkpoint_orbax
+
+        save_checkpoint_orbax(path, samples, state)
+    else:
+        raise ValueError(f"unknown checkpoint format {fmt!r}")
+
+
+def _checkpoint_load(path: str, fmt: str):
+    """Returns ``(samples, state_or_none, nit, key)``."""
+    if fmt == "pickle":
+        with open(path, "rb") as f:
+            samples, state = pickle.load(f)
+        return samples, state, state.nit, state.key
+    if fmt == "orbax":
+        from .sample_io import load_checkpoint_orbax
+
+        samples, aux = load_checkpoint_orbax(path)
+        return samples, None, int(aux["nit"]), jnp.asarray(aux["key"])
+    raise ValueError(f"unknown checkpoint format {fmt!r}")
+
+
 def optimize_kl(
-    likelihood: Likelihood,
-    position_or_samples,
-    *,
-    key,
-    n_total_iterations: int,
-    n_samples,
-    point_estimates=(),
-    constants=(),
-    kl_jit=True,
-    residual_jit=True,
-    kl_map=jax.vmap,
+    likelihood: Likelihood, position_or_samples, *, key,
+    n_total_iterations: int, n_samples,
+    point_estimates=(), constants=(),
+    kl_jit=True, residual_jit=True, kl_map=jax.vmap,
     residual_map="vmap",
     kl_reduce=_reduce,
     mirror_samples=True,
@@ -573,90 +663,92 @@ def optimize_kl(
     kl_kwargs=dict(minimize_kwargs=dict()),
     sample_mode: SMPL_MODE_GENERIC_TYP = "nonlinear_resample",
     resume: Union[str, bool] = False,
+    checkpoint_format: Literal["pickle", "orbax"] = "pickle",
     callback: Optional[Callable[[Samples, OptimizeVIState], None]] = None,
     terminate_callback: Optional[Callable[[Samples, OptimizeVIState], bool]] = None,
     plot_energy_history: bool = True,
     export_operator_outputs: Optional[dict] = None,
     odir: Optional[str] = None,
-    _optimize_vi=None,
-    _optimize_vi_state=None,
+    _optimize_vi=None, _optimize_vi_state=None,
 ) -> tuple[Samples, OptimizeVIState]:
     """One-stop-shop MGVI/geoVI driver with checkpoint/resume.
 
-    Parity: ``src/re/optimize_kl.py:574``.
+    Capability parity: ``src/re/optimize_kl.py:574`` plus the classic
+    driver's export/plot/terminate hooks
+    (``src/minimization/optimize_kl.py:281-340,404-408,461+``).
     """
-    LAST_FILENAME = "last.pkl"
-    MINISANITY_FILENAME = "minisanity.txt"
+    ckpt_name = "last.pkl" if checkpoint_format == "pickle" else "last_ckpt"
 
     opt_vi = _optimize_vi
     if opt_vi is None:
-        opt_vi = OptimizeVI(
-            likelihood,
-            n_total_iterations=n_total_iterations,
-            kl_jit=kl_jit,
-            residual_jit=residual_jit,
-            kl_map=kl_map,
-            residual_map=residual_map,
-            kl_reduce=kl_reduce,
+        engine = dict(
+            kl_jit=kl_jit, residual_jit=residual_jit, kl_map=kl_map,
+            residual_map=residual_map, kl_reduce=kl_reduce,
             mirror_samples=mirror_samples,
         )
+        opt_vi = OptimizeVI(
+            likelihood, n_total_iterations=n_total_iterations, **engine
+        )
 
-    last_fn = os.path.join(odir, LAST_FILENAME) if odir is not None else None
-    resume_fn = resume if isinstance(resume, str) and os.path.isfile(resume) else last_fn
-    sanity_fn = os.path.join(odir, MINISANITY_FILENAME) if odir is not None else None
+    ckpt_fn = os.path.join(odir, ckpt_name) if odir is not None else None
+    sanity_fn = os.path.join(odir, "minisanity.txt") if odir is not None else None
 
-    if isinstance(position_or_samples, Samples):
-        samples = position_or_samples
-    else:
-        samples = Samples(pos=position_or_samples, samples=None, keys=None)
-    opt_vi_st = None
-    if resume:
-        if resume_fn is None or not os.path.isfile(resume_fn):
-            raise ValueError(f"unable to resume from {resume_fn!r}")
-        if samples.pos is not None:
-            logger.warning("overwriting `position_or_samples` with `resume`")
-        with open(resume_fn, "rb") as f:
-            samples, opt_vi_st = pickle.load(f)
-    opt_vi_st_init = opt_vi.init_state(
-        key,
-        n_samples=n_samples,
-        draw_linear_kwargs=draw_linear_kwargs,
-        nonlinearly_update_kwargs=nonlinearly_update_kwargs,
-        kl_kwargs=kl_kwargs,
-        sample_mode=sample_mode,
-        point_estimates=point_estimates,
-        constants=constants,
+    samples = (
+        position_or_samples
+        if isinstance(position_or_samples, Samples)
+        else Samples(pos=position_or_samples, samples=None, keys=None)
     )
-    opt_vi_st = _optimize_vi_state if _optimize_vi_state is not None else opt_vi_st
-    opt_vi_st = opt_vi_st_init if opt_vi_st is None else opt_vi_st
-    if len(opt_vi_st.config) == 0:
-        opt_vi_st = opt_vi_st._replace(config=opt_vi_st_init.config)
+
+    state = _optimize_vi_state
+    resume_nit = resume_key = None
+    if resume:
+        src = resume if isinstance(resume, str) and os.path.exists(resume) else ckpt_fn
+        if src is None or not os.path.exists(src):
+            raise ValueError(f"no checkpoint to resume from at {src!r}")
+        if samples.pos is not None:
+            logger.warning("`resume` overrides `position_or_samples`")
+        samples, loaded_state, resume_nit, resume_key = _checkpoint_load(
+            src, checkpoint_format
+        )
+        state = loaded_state if state is None else state
+
+    if state is None or not state.config:
+        if constants not in ((), None):
+            raise NotImplementedError("`constants` is not implemented")
+        schedule = VISchedule(
+            n_samples=n_samples, sample_mode=sample_mode,
+            point_estimates=point_estimates, constants=constants,
+            draw_linear_kwargs=draw_linear_kwargs,
+            nonlinearly_update_kwargs=nonlinearly_update_kwargs,
+            kl_kwargs=kl_kwargs,
+        )
+        if state is None:
+            state = OptimizeVIState(
+                nit=0 if resume_nit is None else resume_nit,
+                key=key if resume_key is None else resume_key,
+                config=schedule,
+            )
+        else:
+            state = state._replace(config=schedule)
 
     if odir:
         os.makedirs(odir, exist_ok=True)
-    if not resume and sanity_fn is not None:
-        open(sanity_fn, "w").close()
+        if not resume and sanity_fn is not None:
+            open(sanity_fn, "w").close()
 
     nm = "OPTIMIZE_KL"
     energy_history = []
-    for i in range(opt_vi_st.nit, opt_vi.n_total_iterations):
+    for i in range(state.nit, opt_vi.n_total_iterations):
         logger.info(f"{nm}: Starting {i + 1:04d}")
-        samples, opt_vi_st = opt_vi.update(samples, opt_vi_st)
-        msg = opt_vi.get_status_message(samples, opt_vi_st, name=nm)
+        samples, state = opt_vi.update(samples, state)
+        msg = opt_vi.get_status_message(samples, state, name=nm)
         logger.info(msg)
-        energy_history.append(
-            (opt_vi_st.nit, float(opt_vi_st.minimization_state.fun))
-        )
+        energy_history.append((state.nit, float(state.minimization_state.fun)))
         if sanity_fn is not None:
             with open(sanity_fn, "a") as f:
                 f.write("\n" + msg)
-        if last_fn is not None:
-            with open(last_fn, "wb") as f:
-                # Host numpy copies: checkpoint loads on any backend/mesh.
-                pickle.dump(
-                    (_to_host(samples), _to_host(opt_vi_st._replace(config={}))),
-                    f,
-                )
+        if ckpt_fn is not None:
+            _checkpoint_save(ckpt_fn, samples, state, checkpoint_format)
         if export_operator_outputs is not None and odir is not None:
             # hdf5 export of configured operator outputs over samples each
             # iteration (parity: reference driver export,
@@ -670,10 +762,8 @@ def optimize_kl(
                 overwrite=True,
             )
         if callback is not None:
-            callback(samples, opt_vi_st)
-        if terminate_callback is not None and terminate_callback(
-            samples, opt_vi_st
-        ):
+            callback(samples, state)
+        if terminate_callback is not None and terminate_callback(samples, state):
             logger.info(f"{nm}: terminated early by `terminate_callback`")
             break
 
@@ -694,4 +784,4 @@ def optimize_kl(
         fig.savefig(os.path.join(odir, "energy_history.png"), dpi=100)
         plt.close(fig)
 
-    return samples, opt_vi_st
+    return samples, state

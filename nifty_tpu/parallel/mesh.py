@@ -65,13 +65,14 @@ def _field_spec(ndim: int, field_axis: str, leading: int = 0):
 
 
 def shard_position(pos, mesh: Mesh, *, field_axis: str = "field",
-                   min_size: int = 2):
-    """Place a latent position on the mesh: leaves with >= 2 dims get their
-    first axis sharded over ``field`` (when divisible); the rest replicate."""
+                   min_ndim: int = 2):
+    """Place a latent position on the mesh: leaves with >= ``min_ndim``
+    dimensions get their first axis sharded over ``field`` (when divisible);
+    the rest replicate."""
     fdim = mesh.shape[field_axis]
 
     def put(x):
-        if jnp.ndim(x) >= min_size and x.shape[0] % fdim == 0:
+        if jnp.ndim(x) >= min_ndim and x.shape[0] % fdim == 0:
             spec = _field_spec(jnp.ndim(x), field_axis)
         else:
             spec = P()

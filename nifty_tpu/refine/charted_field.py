@@ -2,8 +2,8 @@
 
 A GP with kernel ``k(r)`` is built level-by-level: the coarsest grid is an
 exact draw (dense Cholesky over the small level-0 covariance); each
-refinement conditions 2^d fine pixels per coarse site on the 3^d
-surrounding coarse values,
+refinement conditions ``fine_size^d`` fine pixels per window on the
+``coarse_size^d`` surrounding coarse values,
 
     fine = olf · coarse_window + ker_sqrt · ξ ,
 
@@ -12,15 +12,17 @@ Cholesky factor of the conditional covariance — the working set stays
 O(local window), so memory is O(field) at every resolution (the
 reference's "scale the big axis" mechanism, SURVEY §5).
 
-TPU mapping: window extraction is a stack of shifted slices (fused
-gathers), the per-site refinement is one einsum over (site, fine, window)
-— an MXU batched matmul; on a *regular* chart all interior sites share a
-single matrix pair, on a deformed chart matrices are vmapped over sites
-(with optional tolerance-deduplication via :func:`nifty_tpu.num.unique`).
+TPU mapping: window extraction is a stack of strided slices (fused
+gathers) on uniform axes and a precomputed index-table gather on clamped/
+periodic axes; the per-site refinement is one einsum over
+(site, fine, window) — an MXU batched matmul.  On a regular chart all
+sites share a single matrix pair; on a deformed chart matrices vary only
+along the chart's irregular axes and are broadcast along regular ones.
 
-Parity: reference ``src/re/refine/charted_field.py:21-148`` (matrices),
-``:149,315`` (``RefinementField``/``apply``), compute kernels
-``src/re/refine/charted_refine.py:37,223``.
+Capability parity: reference ``src/re/refine/charted_field.py:21-148``
+(matrices), ``:149,315`` (``RefinementField``/``apply``), compute kernels
+``src/re/refine/charted_refine.py:37,223`` (``refine_conv_general``
+handles the same irregular/clamped geometry via explicit index maps).
 """
 
 from __future__ import annotations
@@ -65,33 +67,71 @@ def refinement_matrices(kernel: Callable, coarse_coords, fine_coords,
     return olf, ker_sqrt
 
 
-def coarse_windows(x, ndim: int):
-    """Extract all 3^d windows around interior pixels.
+def _uniform_starts(starts: np.ndarray) -> bool:
+    """Whether per-axis window starts form an unclamped uniform stride."""
+    if starts.size <= 1:
+        return True
+    d = np.diff(starts)
+    return bool(np.all(d == d[0]))
 
-    ``x`` has shape grid ``(n1, ..., nd)``; returns
-    ``(n1-2, ..., nd-2, 3^d)`` — a stack of shifted slices (no gather
-    tables, fuses into the consuming matmul).
+
+def coarse_windows(x, ndim: int, *, chart: Optional[CoordinateChart] = None,
+                   level: int = 0):
+    """Extract all refinement windows around the sites of ``level``.
+
+    ``x`` has shape ``(n1, ..., nd)``; returns ``(ns1, ..., nsd, csz^d)``.
+    Without a chart, the classic ``coarse_size=3`` / stride-1 stencil is
+    used (back-compatible helper).  Uniform axes use strided slices (which
+    fuse into the consuming matmul); clamped or periodic axes gather
+    through a host-precomputed index table.
     """
-    shifts = list(itertools.product((0, 1, 2), repeat=ndim))
-    parts = []
-    for s in shifts:
-        sl = tuple(
-            slice(o, n - 2 + o) for o, n in zip(s, x.shape[:ndim])
-        )
-        parts.append(x[sl])
-    return jnp.stack(parts, axis=-1)
+    if chart is None:
+        csz, step = 3, 1
+        starts = [np.arange(n - 2) for n in x.shape[:ndim]]
+        periodic = (False,) * ndim
+        shape = x.shape[:ndim]
+    else:
+        csz, step = chart.coarse_size, chart.window_stride
+        starts = chart.window_starts(level)
+        periodic = chart.periodic
+        shape = chart.shapes[level]
+
+    slice_ok = [
+        _uniform_starts(s) and not p for s, p in zip(starts, periodic)
+    ]
+    if all(slice_ok):
+        parts = []
+        for offs in itertools.product(range(csz), repeat=ndim):
+            sl = tuple(
+                slice(o, o + (len(s) - 1) * step + 1, step)
+                for o, s in zip(offs, starts)
+            )
+            parts.append(x[sl])
+        return jnp.stack(parts, axis=-1)
+
+    # general path: per-axis index tables, processed from the last axis so
+    # freshly inserted window dims never disturb pending axes
+    for ax in range(ndim - 1, -1, -1):
+        idx = starts[ax][:, None] + np.arange(csz)[None, :]
+        idx = idx % shape[ax] if periodic[ax] else idx
+        x = jnp.take(x, jnp.asarray(idx), axis=ax)
+    # now (ns1, csz, ns2, csz, ...) -> (ns..., csz^d)
+    perm = list(range(0, 2 * ndim, 2)) + list(range(1, 2 * ndim, 2))
+    x = jnp.transpose(x, perm + list(range(2 * ndim, x.ndim)))
+    sites = x.shape[:ndim]
+    return x.reshape(sites + (csz ** ndim,))
 
 
-def _interleave_children(y, ndim: int):
-    """(..., i1..id, 2^d) block values -> fine grid (2 i1, ..., 2 id)."""
+def _interleave_children(y, ndim: int, fsz: int = 2):
+    """(..., i1..id, fsz^d) block values -> fine grid (fsz·i1, ..., fsz·id)."""
     dims = y.shape[:ndim]
-    y = y.reshape(dims + (2,) * ndim)
-    # interleave: out[2*i1 + c1, ...] = y[i1, ..., c1, ...]
+    y = y.reshape(dims + (fsz,) * ndim)
+    # interleave: out[fsz*i1 + c1, ...] = y[i1, ..., c1, ...]
     perm = []
     for k in range(ndim):
         perm.extend([k, ndim + k])
     y = jnp.transpose(y, perm)
-    return y.reshape(tuple(2 * n for n in dims))
+    return y.reshape(tuple(fsz * n for n in dims))
 
 
 class RefinementField(Model):
@@ -100,10 +140,11 @@ class RefinementField(Model):
     Parameters
     ----------
     chart : CoordinateChart or tuple/int
-        Chart (or ``shape0`` convenience, combined with ``depth``).
+        Chart (or ``shape0`` convenience, combined with the chart kwargs).
     kernel : callable
         Isotropic covariance function ``k(r)``.
-    depth, distances0, nonlinear_map :
+    depth, distances0, nonlinear_map, coarse_size, fine_size,
+    fine_strategy, periodic :
         Convenience chart construction when ``chart`` is a shape.
     name : str
         Prefix of the excitation keys (``{name}0``, ``{name}1``, ...).
@@ -117,6 +158,10 @@ class RefinementField(Model):
         depth: Optional[int] = None,
         distances0=None,
         nonlinear_map=None,
+        coarse_size: int = 3,
+        fine_size: int = 2,
+        fine_strategy: str = "extend",
+        periodic=False,
         name: str = "xi",
         dtype=None,
     ):
@@ -124,18 +169,19 @@ class RefinementField(Model):
             chart = CoordinateChart(
                 chart, depth=depth if depth is not None else 3,
                 distances0=distances0, nonlinear_map=nonlinear_map,
+                coarse_size=coarse_size, fine_size=fine_size,
+                fine_strategy=fine_strategy, periodic=periodic,
             )
         self.chart = chart
         self.kernel = kernel
         self.name = name
         ndim = chart.ndim
-        n_children = 2 ** ndim
+        n_children = chart.fine_size ** ndim
 
         domain = {f"{name}0": ShapeWithDtype(chart.shape0, dtype)}
         for l in range(chart.depth):
-            interior = tuple(n - 2 for n in chart.shapes[l])
             domain[f"{name}{l + 1}"] = ShapeWithDtype(
-                interior + (n_children,), dtype
+                chart.site_counts(l) + (n_children,), dtype
             )
         self._matrices = self._build_matrices()
         init = Initializer(
@@ -144,6 +190,52 @@ class RefinementField(Model):
         super().__init__(domain=domain, init=init)
 
     # -- host precompute ---------------------------------------------------
+
+    def _varying_axes(self, level: int):
+        """Axes along which the refinement matrices differ between sites:
+        deformed (irregular) axes, plus axes whose last window was clamped
+        to the boundary (non-uniform stride)."""
+        chart = self.chart
+        starts = chart.window_starts(level)
+        out = []
+        for a in range(chart.ndim):
+            clamped = not _uniform_starts(starts[a])
+            if clamped or a in chart.irregular_axes:
+                out.append(a)
+            if chart.periodic[a] and a in chart.irregular_axes:
+                raise ValueError(
+                    "periodic axes require a regular (translation-"
+                    f"invariant) chart; axis {a} is both periodic and "
+                    "irregular"
+                )
+        return tuple(out)
+
+    def _site_coords(self, level: int, site) -> Tuple[np.ndarray, np.ndarray]:
+        """(window, children) Cartesian coordinates of one refinement site.
+
+        Positions of wrapped (periodic) windows use the *unwrapped* index
+        continuation so all relative distances stay local.
+        """
+        chart = self.chart
+        ndim = chart.ndim
+        csz, fsz = chart.coarse_size, chart.fine_size
+        starts = chart.window_starts(level)
+        widx = [starts[a][site[a]] + np.arange(csz) for a in range(ndim)]
+        fidx = [site[a] * fsz + np.arange(fsz) for a in range(ndim)]
+        cw = chart.positions_at(widx, level).reshape(-1, ndim)
+        fw = chart.positions_at(fidx, level + 1).reshape(-1, ndim)
+        return cw, fw
+
+    def matrices_at(self, level: int, pixel_index, kernel=None):
+        """(olf, ker_sqrt) of one refinement site — for tests and
+        diagnostics (parity: the reference ``RefinementField.matrices_at``)."""
+        kernel = self.kernel if kernel is None else kernel
+        with jax.enable_x64():
+            cw, fw = self._site_coords(level, tuple(pixel_index))
+            return refinement_matrices(
+                kernel, jnp.asarray(cw), jnp.asarray(fw)
+            )
+
     def _build_matrices(self):
         # Always precompute in f64 (design rule: host precompute is numpy
         # f64): the conditional fine-level covariances span many orders of
@@ -163,34 +255,28 @@ class RefinementField(Model):
 
         olfs, kers = [], []
         for l in range(chart.depth):
-            coarse_pos = chart.positions(l)
-            fine_pos = chart.positions(l + 1)
-            interior = tuple(n - 2 for n in chart.shapes[l])
-            if chart.is_regular():
-                # one shared matrix pair: use the window around the first
-                # interior site
-                cw = _window_coords(coarse_pos, (0,) * ndim)
-                fw = _children_coords(fine_pos, (0,) * ndim, ndim)
+            nsites = chart.site_counts(l)
+            varying = self._varying_axes(l)
+            if not varying:
+                # translation-invariant: one shared matrix pair
+                cw, fw = self._site_coords(l, (0,) * ndim)
                 olf, ker = refinement_matrices(
                     kernel, jnp.asarray(cw), jnp.asarray(fw)
                 )
                 olfs.append(np.asarray(olf))
                 kers.append(np.asarray(ker))
-            else:
-                sites = list(itertools.product(*[range(n) for n in interior]))
-                cws = np.stack([_window_coords(coarse_pos, s) for s in sites])
-                fws = np.stack(
-                    [_children_coords(fine_pos, s, ndim) for s in sites]
-                )
-                olf, ker = jax.vmap(
-                    partial(refinement_matrices, kernel)
-                )(jnp.asarray(cws), jnp.asarray(fws))
-                olfs.append(np.asarray(olf).reshape(
-                    interior + olf.shape[1:]
-                ))
-                kers.append(np.asarray(ker).reshape(
-                    interior + ker.shape[1:]
-                ))
+                continue
+            # matrices vary along `varying`; broadcast along the rest
+            grid = tuple(
+                nsites[a] if a in varying else 1 for a in range(ndim)
+            )
+            sites = list(itertools.product(*[range(g) for g in grid]))
+            cws, fws = zip(*(self._site_coords(l, s) for s in sites))
+            olf, ker = jax.vmap(partial(refinement_matrices, kernel))(
+                jnp.asarray(np.stack(cws)), jnp.asarray(np.stack(fws))
+            )
+            olfs.append(np.asarray(olf).reshape(grid + olf.shape[1:]))
+            kers.append(np.asarray(ker).reshape(grid + ker.shape[1:]))
         return cov_sqrt0, tuple(olfs), tuple(kers)
 
     # -- forward -----------------------------------------------------------
@@ -202,26 +288,16 @@ class RefinementField(Model):
         field = (jnp.asarray(cov_sqrt0) @ xi0.ravel()).reshape(chart.shape0)
         for l in range(chart.depth):
             xi = x[f"{self.name}{l + 1}"]
-            windows = coarse_windows(field, ndim)  # (*interior, 3^d)
+            windows = coarse_windows(field, ndim, chart=chart, level=l)
             olf, ker = jnp.asarray(olfs[l]), jnp.asarray(kers[l])
-            if olf.ndim == 2:  # shared matrices (regular chart)
+            if olf.ndim == 2:  # shared matrices (translation-invariant)
                 mean = jnp.einsum("...w,fw->...f", windows, olf)
                 exc = jnp.einsum("...e,fe->...f", xi, ker)
-            else:  # per-site matrices (deformed chart)
+            else:  # per-site matrices, broadcast along regular axes
+                nsites = windows.shape[:ndim]
+                olf = jnp.broadcast_to(olf, nsites + olf.shape[-2:])
+                ker = jnp.broadcast_to(ker, nsites + ker.shape[-2:])
                 mean = jnp.einsum("...w,...fw->...f", windows, olf)
                 exc = jnp.einsum("...e,...fe->...f", xi, ker)
-            field = _interleave_children(mean + exc, ndim)
+            field = _interleave_children(mean + exc, ndim, chart.fine_size)
         return field
-
-
-def _window_coords(coarse_pos: np.ndarray, site) -> np.ndarray:
-    """3^d window coordinates around interior site (index into interior)."""
-    ndim = coarse_pos.shape[-1]
-    sl = tuple(slice(s, s + 3) for s in site)
-    return coarse_pos[sl].reshape(-1, ndim)
-
-
-def _children_coords(fine_pos: np.ndarray, site, ndim: int) -> np.ndarray:
-    """2^d children coordinates of interior coarse site."""
-    sl = tuple(slice(2 * s, 2 * s + 2) for s in site)
-    return fine_pos[sl].reshape(-1, ndim)

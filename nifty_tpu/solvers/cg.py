@@ -169,7 +169,10 @@ def _static_cg(
         )
         fallback = where((i == 1) & (curv < 0.0), grad_step, v["pos"])
         pos = where(nonpos_curv, fallback, pos)
-        info = jnp.where(nonpos_curv, 0, info)
+        # Graceful by default (Newton-CG relies on the partial solution);
+        # with `_raise_nonposdef` the breakdown becomes a failure code that
+        # the callback / host-boundary check below turns into an exception.
+        info = jnp.where(nonpos_curv, -1 if _raise_nonposdef else 0, info)
 
         beta = jnp.maximum(0.0, gamma / prev_gamma)
         d = tree_axpy(beta, d, z)
@@ -199,5 +202,25 @@ def _static_cg(
     val = lax.while_loop(cond, body, val)
     i = val["nit"]
     info = val["info"]
+    if _raise_nonposdef:
+        # In-jit failure signaling (parity: the reference's `_cond_raise`
+        # host callback, src/re/evi.py:39-56).  On backends without host
+        # callbacks (tunneled TPU) detection still flows through the
+        # returned `info`, which `OptimizeVI.update` re-checks at the next
+        # host boundary.
+        from ..misc import host_callbacks_supported
+
+        if host_callbacks_supported():
+            jax.debug.callback(_raise_on_breakdown, info)
     nfev = nfev0 + i + i // N_RESET
     return CGResults(x=val["pos"], info=info, nit=i, nfev=nfev, success=info == 0)
+
+
+def _raise_on_breakdown(info):
+    import numpy as np
+
+    if np.any(np.asarray(info) < 0):
+        raise FloatingPointError(
+            f"conjugate gradient broke down (non-positive-definite metric "
+            f"or NaN energy; info={np.asarray(info)})"
+        )

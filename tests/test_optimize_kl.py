@@ -295,3 +295,30 @@ def test_fused_update_map_path(key):
     samples, state = opt.update(samples, state)
     assert len(samples) == 0
     assert np.isfinite(float(state.minimization_state.fun))
+
+
+def test_optimize_kl_orbax_checkpoint_roundtrip(key, tmp_path):
+    """Resume through the orbax/tensorstore array checkpoint (the
+    multi-host-safe format): continuation matches an uninterrupted run."""
+    pytest.importorskip("orbax.checkpoint")
+    lh, cf, truth, noise_std = _small_problem(key)
+    ki, ko = jax.random.split(jax.random.PRNGKey(9))
+    init = jft.random_like(ki, lh.domain)
+    common = dict(
+        key=ko, n_samples=2,
+        draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-9, maxiter=60)),
+        kl_kwargs=dict(minimize_kwargs=dict(absdelta=1e-8, maxiter=15)),
+        sample_mode="linear_resample", checkpoint_format="orbax",
+        odir=str(tmp_path),
+    )
+    s1, st1 = jft.optimize_kl(lh, init, n_total_iterations=2, **common)
+    assert os.path.isdir(os.path.join(tmp_path, "last_ckpt"))
+    s2, st2 = jft.optimize_kl(lh, None, n_total_iterations=4, resume=True,
+                              **common)
+    assert st2.nit == 4
+    s3, st3 = jft.optimize_kl(lh, init, n_total_iterations=4, **{
+        **common, "odir": str(tmp_path) + "_b"
+    })
+    np.testing.assert_allclose(
+        np.asarray(s2.pos["cfxi"]), np.asarray(s3.pos["cfxi"]), atol=1e-5
+    )

@@ -169,3 +169,149 @@ def test_kl_with_pairwise_reduce_mesh_independent(rng, key):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_distributed_fft_1d_four_step(rng):
+    """1-D distributed FFT runs the four-step algorithm (no gather)."""
+    for n_dev in (2, 4):
+        mesh = _field_mesh(n_dev)
+        x = jnp.asarray(rng.normal(size=32) + 1j * rng.normal(size=32))
+        xs = jax.device_put(x, NamedSharding(mesh, P("field")))
+        np.testing.assert_allclose(
+            distributed_fftn(xs, mesh), jnp.fft.fft(x), rtol=1e-12,
+            atol=1e-12,
+        )
+
+
+def test_distributed_hartley_nondivisible_axis(rng):
+    """Partner axes not divisible by the mesh extent are zero-padded for
+    the transpose, never gathered."""
+    mesh = _field_mesh(4)
+    x = jnp.asarray(rng.normal(size=(16, 5)))
+    xs = jax.device_put(x, NamedSharding(mesh, P("field", None)))
+    np.testing.assert_allclose(
+        distributed_hartley(xs, mesh), hartley_via_c2c(x), rtol=1e-10,
+        atol=1e-10,
+    )
+
+
+def test_distributed_hartley_3d_pencil_vjp(rng):
+    """A 256^3-class pencil shape (64^3 over 8 devices) — forward and
+    adjoint-by-vjp both match the local transform."""
+    mesh = _field_mesh(8)
+    x = jnp.asarray(rng.normal(size=(64, 64, 64)))
+    y = jnp.asarray(rng.normal(size=(64, 64, 64)))
+    xs = jax.device_put(x, NamedSharding(mesh, P("field", None, None)))
+    np.testing.assert_allclose(
+        distributed_hartley(xs, mesh), hartley_via_c2c(x), rtol=1e-9,
+        atol=1e-9,
+    )
+    g = jax.grad(lambda v: jnp.vdot(distributed_hartley(v, mesh), y))(xs)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(hartley_via_c2c(y)), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_distributed_fft_module_never_gathers():
+    """Memory contract: the pencil module must not materialize the full
+    field on any device (the round-1 fallbacks did)."""
+    import inspect
+
+    import nifty_tpu.ops.distributed_fft as dfft
+
+    assert "all_gather" not in inspect.getsource(dfft)
+
+
+def _field_sharded_vi_run(rng_data, mesh, sample_mode, nl_maxiter):
+    """One fused OptimizeVI.update of a 64^2 correlated field with the
+    pencil Hartley over the mesh's field axis."""
+    from nifty_tpu.ops.distributed_fft import distributed_hartley
+    from nifty_tpu.parallel import shard_position
+
+    dims = (64, 64)
+    data = jnp.asarray(rng_data)
+    cfm = jft.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(
+        dims, distances=1.0 / dims[0], fluctuations=(1.0, 5e-1),
+        loglogavgslope=(-3.0, 2e-1), flexibility=(1e0, 5e-1),
+        asperity=(5e-1, 5e-2),
+    )
+    cf = cfm.finalize(
+        hartley_fn=lambda x, axes=None: distributed_hartley(x, mesh)
+    )
+    lh = jft.Gaussian(data, noise_cov_inv=lambda x: x / 1.0).amend(cf)
+    lh = jax.tree_util.tree_map(
+        lambda x: shard_position(x, mesh) if hasattr(x, "ndim") else x, lh
+    )
+    pos = shard_position(
+        jft.random_like(jax.random.PRNGKey(1), lh.domain), mesh
+    )
+    opt = jft.OptimizeVI(lh, n_total_iterations=1)
+    state = opt.init_state(
+        jax.random.PRNGKey(7),
+        n_samples=2,
+        draw_linear_kwargs=dict(cg_kwargs=dict(maxiter=200, absdelta=1e-13)),
+        nonlinearly_update_kwargs=dict(minimize_kwargs=dict(
+            xtol=1e-8, maxiter=nl_maxiter, cg_kwargs=dict(maxiter=100))),
+        kl_kwargs=dict(minimize_kwargs=dict(
+            xtol=1e-9, maxiter=30, cg_kwargs=dict(maxiter=150))),
+        sample_mode=sample_mode,
+    )
+    samples = jft.Samples(pos=pos, samples=None, keys=None)
+    samples, state = opt.update(samples, state)  # fused single XLA program
+    return samples, state
+
+
+def _max_leaf_err(a, b):
+    return max(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max())
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b))
+    )
+
+
+def test_field_sharded_fused_vi_update_matches_unsharded(rng):
+    """One full fused OptimizeVI.update (antithetic metric-CG draw + KL
+    Newton-CG) on a samples=2 x field=4 mesh with the pencil Hartley equals
+    the single-device run — the analog of the reference's 1-rank == N-rank
+    MPI invariant (/root/reference/test/test_mpi/test_kl.py) for a 64^2
+    field with realistic (convergence-level) iteration counts.
+
+    The forward pencil transform is bitwise mesh-independent; what differs
+    between mesh extents is the association order of field-axis reductions
+    (energies/vdots), ~1e-10 per evaluation.  Solvers run to convergence so
+    both meshes stop at the same fixed point; the measured cross-mesh
+    divergence of the full linear update is ~7e-8 (draw stage alone ~7e-9)."""
+    data = rng.normal(size=(64, 64))
+    s_sh, st_sh = _field_sharded_vi_run(
+        data, make_mesh(samples=2, field=4), "linear_resample", 0
+    )
+    s_si, st_si = _field_sharded_vi_run(
+        data, make_mesh(samples=1, field=1), "linear_resample", 0
+    )
+    assert _max_leaf_err(s_sh.samples, s_si.samples) <= 5e-7
+    np.testing.assert_allclose(
+        float(st_sh.minimization_state.fun),
+        float(st_si.minimization_state.fun), rtol=1e-8,
+    )
+
+
+def test_field_sharded_geovi_update_statistically_consistent(rng):
+    """The geoVI nonlinear update is chaotically sensitive (a 1e-10 input
+    perturbation alone shifts its output by ~1e-1 through line-search
+    branch flips), so cross-mesh agreement is asserted at the statistical
+    level: the KL energies of the 2x4-mesh and single-device runs must
+    coincide to ~1e-3 relative (measured cross-mesh delta ~2.4e-4) and the
+    samples must stay close on the posterior-uncertainty scale."""
+    data = rng.normal(size=(64, 64))
+    s_sh, st_sh = _field_sharded_vi_run(
+        data, make_mesh(samples=2, field=4), "nonlinear_resample", 10
+    )
+    s_si, st_si = _field_sharded_vi_run(
+        data, make_mesh(samples=1, field=1), "nonlinear_resample", 10
+    )
+    e_sh = float(st_sh.minimization_state.fun)
+    e_si = float(st_si.minimization_state.fun)
+    assert abs(e_sh - e_si) / abs(e_si) < 1e-3
+    assert _max_leaf_err(s_sh.samples, s_si.samples) < 0.3

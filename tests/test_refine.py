@@ -171,3 +171,157 @@ def test_healpix_radial_refinement():
         kernel(jnp.sqrt(((P[:, None] - P[None, :]) ** 2).sum(-1)))
     )
     assert np.abs(C - exact).max() < 0.05
+
+
+# -- generalized geometry (arbitrary window/child sizes, jump/extend,
+#    irregular per-axis shapes, periodicity, index algebra) ----------------
+
+from nifty_tpu.refine.chart import (
+    coarse2fine_distances,
+    coarse2fine_shape,
+    fine2coarse_distances,
+    fine2coarse_shape,
+)
+
+
+@pmp("csz,fsz,strategy", [(3, 2, "jump"), (5, 4, "jump"), (3, 2, "extend"),
+                          (5, 4, "extend"), (5, 2, "extend")])
+def test_shape_algebra_roundtrip(csz, fsz, strategy):
+    """coarse2fine/fine2coarse shape translation matches the reference's
+    formulas (src/re/refine/util.py:137-230) and round-trips."""
+    from math import ceil
+
+    for n0 in (8, 11, 12, 17):
+        shp = coarse2fine_shape(
+            (n0,), 2, coarse_size=csz, fine_size=fsz, fine_strategy=strategy
+        )
+        # one level by hand
+        if strategy == "jump":
+            n1 = fsz * (n0 - (csz - 1))
+            n2 = fsz * (n1 - (csz - 1))
+        else:
+            n1 = fsz * ceil((n0 - (csz - 1)) / (fsz // 2))
+            n2 = fsz * ceil((n1 - (csz - 1)) / (fsz // 2))
+        assert shp == (n2,)
+        back = fine2coarse_shape(
+            shp, 2, coarse_size=csz, fine_size=fsz, fine_strategy=strategy
+        )
+        assert back[0] <= n0
+        again = coarse2fine_shape(
+            back, 2, coarse_size=csz, fine_size=fsz, fine_strategy=strategy
+        )
+        assert again[0] >= shp[0] - fsz  # minimal covering coarse shape
+
+
+def test_distance_algebra():
+    np.testing.assert_allclose(
+        coarse2fine_distances(1.0, 3, fine_size=4, fine_strategy="jump"),
+        [1.0 / 64],
+    )
+    np.testing.assert_allclose(
+        coarse2fine_distances(1.0, 3, fine_size=4, fine_strategy="extend"),
+        [1.0 / 8],
+    )
+    np.testing.assert_allclose(
+        fine2coarse_distances(
+            coarse2fine_distances(0.3, 2, fine_size=2), 2, fine_size=2
+        ),
+        [0.3],
+    )
+
+
+@pmp("csz,fsz,strategy", [(3, 2, "extend"), (3, 4, "jump"), (5, 2, "extend"),
+                          (5, 4, "jump"), (5, 4, "extend")])
+@pmp("ndim", [1, 2])
+def test_refinement_covariance_exact_one_window(csz, fsz, strategy, ndim):
+    """With shape0 = coarse_size^d and depth 1 there is exactly one window;
+    the implied model covariance must equal the kernel evaluated on the
+    fine-pixel distance matrix (parity:
+    /root/reference/test/test_re/test_refine.py:202-247)."""
+    dist0 = 0.7
+    chart = CoordinateChart(
+        (csz,) * ndim, depth=1, distances0=dist0, coarse_size=csz,
+        fine_size=fsz, fine_strategy=strategy,
+    )
+    rf = RefinementField(chart, _matern)
+    cov = _exact_cov_of_model(rf, chart)
+
+    dvol = dist0 / (fsz if strategy == "jump" else 2)
+    idx = np.stack(
+        np.meshgrid(*(np.arange(fsz),) * ndim, indexing="ij"), axis=-1
+    ).reshape(-1, ndim) * dvol
+    cov_truth = np.asarray(_matern(jnp.asarray(distance_matrix(idx, idx))))
+    np.testing.assert_allclose(cov, cov_truth, atol=1e-7, rtol=1e-6)
+
+
+def test_refinement_irregular_axis_shapes():
+    """Different extents per axis flow through the shape algebra; clamped
+    windows at non-divisible extents keep the model a consistent GP."""
+    chart = CoordinateChart(
+        (9, 6), depth=2, distances0=(0.5, 0.8), coarse_size=3, fine_size=2,
+        fine_strategy="extend",
+    )
+    rf = RefinementField(chart, _matern)
+    x = rf.init(jax.random.PRNGKey(1))
+    out = rf(x)
+    assert out.shape == chart.shapes[-1]
+    assert out.shape[0] != out.shape[1]
+    cov = _exact_cov_of_model(rf, chart)
+    P = chart.positions(chart.depth).reshape(-1, 2)
+    cov_truth = np.asarray(_matern(jnp.asarray(distance_matrix(P, P))))
+    scale = cov_truth.ravel().max()
+    assert np.abs(cov - cov_truth).max() / scale < 0.11
+    # the bulk must be much tighter than the worst boundary site
+    med = np.median(np.abs(cov - cov_truth)) / scale
+    assert med < 2e-2
+
+
+def test_refinement_deformed_irregular_chart_covariance():
+    """A nonlinearly deformed chart with an irregular extent reproduces the
+    kernel on the *deformed* coordinates (the reference's headline ICR
+    property, test_refine.py:32-39)."""
+
+    def warp(reg):
+        # smooth stretch along axis 0
+        r = reg.copy()
+        return np.stack(
+            [reg[..., 0] + 0.3 * np.sin(reg[..., 0]), reg[..., 1]], axis=-1
+        )
+
+    chart = CoordinateChart(
+        (8, 7), depth=1, distances0=(0.4, 0.4), nonlinear_map=warp,
+    )
+    rf = RefinementField(chart, _matern)
+    out = rf(rf.init(jax.random.PRNGKey(2)))
+    assert out.shape == chart.shapes[-1]
+    cov = _exact_cov_of_model(rf, chart)
+    P = chart.positions(chart.depth).reshape(-1, 2)
+    cov_truth = np.asarray(_matern(jnp.asarray(distance_matrix(P, P))))
+    scale = cov_truth.ravel().max()
+    assert np.abs(cov - cov_truth).max() / scale < 0.05
+
+
+def test_refinement_periodic_axis():
+    """Periodic axes wrap refinement windows; the field keeps the periodic
+    topology (windows gather across the seam) and stays a consistent GP."""
+    chart = CoordinateChart(
+        (8, 8), depth=1, distances0=0.5, periodic=(True, False),
+    )
+    assert chart.shapes[1][0] == 16  # no interior shrink on the wrapped axis
+    rf = RefinementField(chart, _matern)
+    x = rf.init(jax.random.PRNGKey(3))
+    out = rf(x)
+    assert out.shape == chart.shapes[-1]
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_matrices_at_matches_direct_conditioning():
+    chart = CoordinateChart((6, 6), depth=1, distances0=0.3)
+    rf = RefinementField(chart, _matern)
+    olf, ker = rf.matrices_at(0, (1, 2))
+    cw, fw = rf._site_coords(0, (1, 2))
+    olf2, ker2 = refinement_matrices(
+        _matern, jnp.asarray(cw), jnp.asarray(fw)
+    )
+    np.testing.assert_allclose(np.asarray(olf), np.asarray(olf2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ker2), rtol=1e-12)

@@ -233,3 +233,38 @@ def test_descent_methods_vmap():
         for x0 in x0s
     ])
     np.testing.assert_allclose(batched, single, atol=1e-10)
+
+
+def test_cg_nonposdef_graceful_by_default():
+    """A non-positive-definite operator terminates CG gracefully (partial
+    solution, info==0) so Newton-CG can keep using the descent direction."""
+    x, info = static_cg(lambda x: -x, jnp.ones(8), maxiter=10)
+    assert int(info) == 0
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_cg_raise_nonposdef_signals_failure():
+    """`_raise_nonposdef=True` turns the breakdown into a visible error,
+    raised from inside jit via a host callback (parity:
+    reference `_cond_raise`, src/re/evi.py:39-56)."""
+    run = jax.jit(
+        lambda j: static_cg(lambda x: -x, j, maxiter=10, _raise_nonposdef=True)
+    )
+    with pytest.raises(Exception, match="broke down"):
+        x, info = run(jnp.ones(8))
+        jax.block_until_ready(x)
+
+
+def test_optimize_vi_surfaces_sampling_failure():
+    """The driver's host-boundary check raises when the metric CG reports
+    breakdown (the raise path for backends without host callbacks)."""
+    from nifty_tpu.optimize_kl import _check_sampling_status
+
+    with pytest.raises(FloatingPointError, match="metric CG failed"):
+        _check_sampling_status(
+            jnp.asarray([-1, 0]), dict(_raise_nonposdef=True)
+        )
+    # no flag -> no raise
+    _check_sampling_status(jnp.asarray([-1, 0]), dict())
+    # healthy status -> no raise
+    _check_sampling_status(jnp.asarray([0, 0]), dict(_raise_nonposdef=True))
