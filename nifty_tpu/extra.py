@@ -85,6 +85,7 @@ def check_model(
     step: float = 1e-6,
     rtol: float = 1e-4,
     atol: float = 1e-6,
+    adjoint_rtol: float = 1e-8,
 ):
     """Verify the Jacobian of (possibly nonlinear) ``f`` against central
     finite differences along a random direction.
@@ -109,7 +110,7 @@ def check_model(
     lhs = vdot(jvp_val, cot)
     rhs = vdot(t, vjp(cot)[0])
     np.testing.assert_allclose(
-        np.asarray(lhs), np.asarray(rhs), rtol=1e-8,
+        np.asarray(lhs), np.asarray(rhs), rtol=adjoint_rtol,
         err_msg="jvp/vjp adjointness violated",
     )
     return True

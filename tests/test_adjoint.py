@@ -149,3 +149,185 @@ def test_field_weight_is_linear(power, key):
         return jft.makeField(dom, x).weight(power).val
 
     extra.check_linear_model(f, _swd((8, 8), np.float64), key)
+
+
+# --- table-driven consistency matrix ---------------------------------------
+#
+# Every linear map in the package x every dtype it supports, one registry
+# (the analog of the reference's operator-family sweep,
+# /root/reference/test/test_operators/test_adjoint.py:37-59).  Builders are
+# lazy so ops with native/compiled dependencies only load when their row
+# runs.  Each row: name -> (builder(dtype) -> (fn, domain_swd), dtypes).
+
+
+def _build_hartley(dtype):
+    if np.issubdtype(dtype, np.complexfloating):
+        return hartley_via_c2c, _swd((8, 12), dtype)
+    return hartley, _swd((8, 12), dtype)
+
+
+def _build_fftn(dtype):
+    return fftn, _swd((8, 12), dtype)
+
+
+def _build_ifftn(dtype):
+    return ifftn, _swd((8, 12), dtype)
+
+
+def _build_gl_sht(dtype):
+    from nifty_tpu.ops.sht import SphericalHarmonicTransform
+
+    lmax = 7
+    sht = SphericalHarmonicTransform(lmax=lmax)
+    return sht.synthesize_real, _swd(((lmax + 1) ** 2,), dtype)
+
+
+def _build_hp_sht(dtype):
+    from nifty_tpu.ops.healpix_sht import HEALPixSHT
+
+    lmax = 7
+    sht = HEALPixSHT(lmax=lmax, nside=8)
+    return sht.synthesize_real, _swd(((lmax + 1) ** 2,), dtype)
+
+
+def _build_los(dtype):
+    from nifty_tpu.responses.los import SamplingCartesianGridLOS
+
+    rng = np.random.default_rng(0)
+    starts = rng.uniform(0.1, 0.4, size=(5, 3))
+    ends = rng.uniform(0.6, 0.9, size=(5, 3))
+    los = SamplingCartesianGridLOS(
+        starts, ends, shape=(8, 8, 8), distances=(1 / 8,) * 3
+    )
+    return los, _swd((8, 8, 8), dtype)
+
+
+def _build_nufft2(dtype):
+    from nifty_tpu.ops.nufft import nufft2
+
+    coords = jnp.asarray(
+        np.random.default_rng(1).uniform(-np.pi, np.pi, size=(7, 2))
+    )
+    return partial(nufft2, coords=coords), _swd((16, 16), dtype)
+
+
+def _build_ski(dtype):
+    from nifty_tpu.responses.ski import (
+        apply_interpolation,
+        interpolation_matrix,
+    )
+
+    pts = np.random.default_rng(2).uniform(0.05, 0.95, size=(1, 11))
+    idx, w = interpolation_matrix((32,), [(0.0, 1.0)], pts)
+    w = jnp.asarray(w, dtype if not np.issubdtype(dtype, np.complexfloating)
+                    else np.float64)
+    return partial(apply_interpolation, idx, w), _swd((32,), dtype)
+
+
+def _build_bin_gather(dtype):
+    from nifty_tpu.ops.pallas_gather import bin_gather
+
+    idx = jnp.asarray(np.random.default_rng(3).integers(0, 9, size=(6, 7)))
+    return (lambda t: bin_gather(t, idx)), _swd((9,), dtype)
+
+
+def _build_distributed_hartley(dtype):
+    from jax.sharding import Mesh
+
+    from nifty_tpu.ops.distributed_fft import distributed_hartley
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("field",))
+    return (
+        partial(distributed_hartley, mesh=mesh, axis_name="field"),
+        _swd((16, 8), dtype),
+    )
+
+
+def _build_distributed_fftn(dtype):
+    from jax.sharding import Mesh
+
+    from nifty_tpu.ops.distributed_fft import distributed_fftn
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("field",))
+    return (
+        partial(distributed_fftn, mesh=mesh, axis_name="field"),
+        _swd((16, 8), dtype),
+    )
+
+
+def _build_power_distributor(dtype):
+    from nifty_tpu.ops.harmonic import fourier_mode_distributor
+
+    distributor, _, _ = fourier_mode_distributor((12, 12), (0.1, 0.1))
+    distributor = jnp.asarray(distributor)
+    n_modes = int(np.asarray(distributor).max()) + 1
+
+    def f(power):
+        return power[distributor]
+
+    return f, _swd((n_modes,), dtype)
+
+
+F_ALL = [np.float32, np.float64]
+C_ALL = [np.complex64, np.complex128]
+
+_LINEAR_MATRIX = {
+    # NB: hartley is R-linear only (re/im extraction), defined on real
+    # fields — complex columns are deliberately absent.
+    "hartley": (_build_hartley, F_ALL),
+    "fftn": (_build_fftn, C_ALL),
+    "ifftn": (_build_ifftn, C_ALL),
+    "gl_sht": (_build_gl_sht, F_ALL),
+    "healpix_sht": (_build_hp_sht, F_ALL),
+    "los": (_build_los, F_ALL),
+    "nufft2": (_build_nufft2, C_ALL),
+    "ski_interp": (_build_ski, F_ALL + [np.complex128]),
+    "bin_gather": (_build_bin_gather, F_ALL + [np.complex128]),
+    "distributed_hartley": (_build_distributed_hartley, [np.float64]),
+    "distributed_fftn": (_build_distributed_fftn, [np.complex128]),
+    "power_distributor": (_build_power_distributor, F_ALL + C_ALL),
+}
+
+_MATRIX_CASES = [
+    (name, dtype)
+    for name, (_, dtypes) in _LINEAR_MATRIX.items()
+    for dtype in dtypes
+]
+
+
+@pmp("name,dtype", _MATRIX_CASES,
+     ids=[f"{n}-{np.dtype(d).name}" for n, d in _MATRIX_CASES])
+def test_linear_consistency_matrix(name, dtype, key):
+    builder, _ = _LINEAR_MATRIX[name]
+    fn, dom = builder(dtype)
+    single = np.dtype(dtype).itemsize <= (
+        8 if np.issubdtype(dtype, np.complexfloating) else 4
+    )
+    tol = dict(rtol=2e-3, atol=2e-4) if single else {}
+    extra.check_linear_model(fn, dom, key, **tol)
+
+
+@pmp("dtype", F_ALL)
+def test_correlated_field_jacobian_matrix(dtype, key):
+    """check_model (Jacobian vs finite differences) on the flagship forward
+    model at both float widths."""
+    cfm = jft.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=0.5, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(
+        (12, 12), distances=1.0 / 12, fluctuations=(1.0, 5e-1),
+        loglogavgslope=(-2.0, 2e-1), flexibility=(1e0, 5e-1),
+        asperity=(5e-1, 5e-2),
+    )
+    cf = cfm.finalize()
+    if dtype == np.float32:
+        # FD at f32 needs a bigger probe step and looser agreement.
+        def f32_cf(x):
+            x32 = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, np.float32), x
+            )
+            return cf(x32)
+
+        extra.check_model(f32_cf, cf.domain, key, step=1e-3, rtol=2e-2,
+                          atol=2e-2, adjoint_rtol=1e-5)
+    else:
+        extra.check_model(cf, cf.domain, key)

@@ -108,6 +108,32 @@ def test_chain_deterministic():
     assert h1 == h2
 
 
+def test_trajectory_hashes_pinned():
+    """Blake2b hashes of NUTS/HMC trajectories pinned across commits —
+    silent numeric drift between rounds fails here (analog of the
+    reference's ``test/test_re/test_hmc_hashes.py:31-45``).  Pins are for
+    the suite's CPU/x64 configuration."""
+
+    def pe(q):
+        return 0.5 * jnp.sum((q / jnp.asarray([1.0, 2.0])) ** 2)
+
+    nuts = hmc_oo.NUTSChain(
+        potential_energy=pe, inverse_mass_matrix=1.0,
+        position_proto=jnp.zeros(2), step_size=0.5, max_tree_depth=6,
+    )
+    c, _ = nuts.generate_n_samples(jax.random.PRNGKey(5), jnp.zeros(2), 100)
+    h = hashlib.blake2b(np.asarray(c.samples).tobytes()).hexdigest()[:32]
+    assert h == "032508a9fb3043d46746cac421a0cd32", f"NUTS drifted: {h}"
+
+    hmcc = hmc_oo.HMCChain(
+        potential_energy=pe, inverse_mass_matrix=1.0,
+        position_proto=jnp.zeros(2), step_size=0.3, num_steps=8,
+    )
+    c2, _ = hmcc.generate_n_samples(jax.random.PRNGKey(7), jnp.zeros(2), 100)
+    h2 = hashlib.blake2b(np.asarray(c2.samples).tobytes()).hexdigest()[:32]
+    assert h2 == "1f6e391c2b8b41dc92207e52c8b87767", f"HMC drifted: {h2}"
+
+
 def test_hmc_acc_rej_statistics():
     """Acceptance should be high for small steps on a Gaussian."""
     pe = _gauss_potential(jnp.ones(3))
