@@ -96,6 +96,19 @@ def main():
         fig.colorbar(im, ax=ax)
     fig.tight_layout()
     fig.savefig("results_mf/posterior.png", dpi=100)
+
+    # False-color view: frequency channels rendered as RGB, plus posterior
+    # mean/std uncertainty panels through the Plot API.
+    def as_cube(img):
+        # (space, freq) -> (freq, strip_height, space) false-color strip
+        return np.repeat(np.asarray(img).T[:, None, :], 8, axis=1)
+
+    p = jft.Plot()
+    p.add(as_cube(jnp.exp(truth)), freqs_as_rgb=True, title="truth (RGB)")
+    p.add(as_cube(jnp.exp(mean)), freqs_as_rgb=True,
+          title="posterior mean (RGB)")
+    p.add_uncertainty(np.asarray(post), title="posterior")
+    p.output(name="results_mf/rgb_and_uncertainty.png", xsize=10, ysize=8)
     print("posterior written to results_mf/")
 
 

@@ -51,14 +51,84 @@ def _mollweide_from_hp(arr, nside, xsize=512, nest=False):
     return res
 
 
+def rgb_from_frequencies(cube, *, sat_quantile: float = 0.99,
+                         gamma: float = 2.2):
+    """Render a multi-frequency image cube ``(n_freq, ny, nx)`` as an RGB
+    array ``(ny, nx, 3)``.
+
+    Capability parity with the reference's multi-frequency RGB plotting
+    (``src/plot.py:63``), built independently: frequency channels are
+    spread evenly across the visible band and weighted by Gaussian
+    R/G/B response curves; intensities are normalized at ``sat_quantile``
+    and gamma-compressed.
+    """
+    cube = np.asarray(cube, dtype=np.float64)
+    if cube.ndim != 3:
+        raise ValueError("expected a (n_freq, ny, nx) cube")
+    nf = cube.shape[0]
+    # Channel centers from "red" (low freq) to "blue" (high freq) on [0,1].
+    pos = np.linspace(0.0, 1.0, nf) if nf > 1 else np.array([0.5])
+    centers = {"r": 0.08, "g": 0.5, "b": 0.92}
+    width = 0.25 + 0.4 / nf
+    rgb = np.zeros(cube.shape[1:] + (3,))
+    for ch, (_, c) in enumerate(centers.items()):
+        w = np.exp(-0.5 * ((pos - c) / width) ** 2)
+        w /= w.sum()
+        rgb[..., ch] = np.tensordot(w, cube, axes=(0, 0))
+    rgb = np.clip(rgb, 0.0, None)
+    scale = np.quantile(rgb, sat_quantile)
+    if scale > 0:
+        rgb = np.clip(rgb / scale, 0.0, 1.0)
+    return rgb ** (1.0 / gamma)
+
+
+class EnergyHistory:
+    """Time-stamped scalar series (energies over iterations); plottable
+    panel object.  Capability parity: the reference's iteration-controller
+    ``EnergyHistory`` (``src/minimization/iteration_controllers.py:98``)."""
+
+    def __init__(self):
+        self._its, self._vals = [], []
+
+    def append(self, nit, value):
+        self._its.append(int(nit))
+        self._vals.append(float(value))
+
+    @property
+    def iterations(self):
+        return list(self._its)
+
+    @property
+    def values(self):
+        return list(self._vals)
+
+    def __len__(self):
+        return len(self._its)
+
+
 class Plot:
-    """Collect panels with :meth:`add`, render with :meth:`output`."""
+    """Collect panels with :meth:`add`, render with :meth:`output`.
+
+    Panel types: Fields over RG/GL/HP/Power domains, raw arrays,
+    :class:`EnergyHistory` objects, multi-frequency RGB cubes
+    (``add(cube, freqs_as_rgb=True)``), and sample-set uncertainty pairs
+    (``add_uncertainty(samples_of_arrays)`` → mean and std panels)."""
 
     def __init__(self):
         self._panels = []
 
     def add(self, obj, **kwargs):
         self._panels.append((obj, kwargs))
+
+    def add_uncertainty(self, stacked, *, title: str = "", **kwargs):
+        """Add mean and standard-deviation panels of a stack of posterior
+        samples (leading axis = samples).  Parity: the reference driver's
+        mean/std sample panels."""
+        arr = np.asarray(stacked)
+        if arr.ndim < 2:
+            raise ValueError("expected a (n_samples, ...) stack")
+        self.add(arr.mean(0), title=f"{title} mean".strip(), **kwargs)
+        self.add(arr.std(0), title=f"{title} std".strip(), **kwargs)
 
     def _plot_panel(self, ax, obj, kwargs):
         from .domains import GLSpace, HPSpace, PowerSpace, RGSpace
@@ -67,7 +137,22 @@ class Plot:
         title = kwargs.pop("title", None)
         label = kwargs.pop("label", None)
 
-        if isinstance(obj, Field):
+        if kwargs.pop("freqs_as_rgb", False):
+            rgb_kw = {
+                k: kwargs.pop(k) for k in ("sat_quantile", "gamma")
+                if k in kwargs
+            }
+            arr = np.asarray(obj.val if isinstance(obj, Field) else obj)
+            ax.imshow(
+                np.transpose(rgb_from_frequencies(arr, **rgb_kw), (1, 0, 2)),
+                origin="lower", **kwargs,
+            )
+        elif isinstance(obj, EnergyHistory):
+            ax.plot(obj.iterations, obj.values, marker="o", label=label,
+                    **kwargs)
+            ax.set_xlabel("iteration")
+            ax.set_ylabel("energy")
+        elif isinstance(obj, Field):
             dom = obj.domain[0] if len(obj.domain) == 1 else None
             arr = np.asarray(obj.val)
             if isinstance(dom, PowerSpace):

@@ -134,6 +134,35 @@ def test_plot_spherical(tmp_path, key):
     assert os.path.getsize(fn) > 1000
 
 
+def test_plot_rgb_energy_uncertainty(tmp_path, rng):
+    from nifty_tpu.plot import EnergyHistory, rgb_from_frequencies
+
+    cube = rng.uniform(size=(5, 12, 16))
+    rgb = rgb_from_frequencies(cube)
+    assert rgb.shape == (12, 16, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    # channel ordering: a cube bright only in the lowest frequency maps
+    # predominantly to the red channel, highest to blue
+    lo = np.zeros((5, 4, 4)); lo[0] = 1.0
+    hi = np.zeros((5, 4, 4)); hi[-1] = 1.0
+    rgb_lo = rgb_from_frequencies(lo)
+    rgb_hi = rgb_from_frequencies(hi)
+    assert rgb_lo[..., 0].mean() > rgb_lo[..., 2].mean()
+    assert rgb_hi[..., 2].mean() > rgb_hi[..., 0].mean()
+
+    eh = EnergyHistory()
+    for i, e in enumerate([10.0, 5.0, 3.0, 2.5]):
+        eh.append(i, e)
+
+    p = jft.Plot()
+    p.add(cube, freqs_as_rgb=True, title="rgb")
+    p.add(eh, title="energy")
+    p.add_uncertainty(rng.normal(size=(6, 16, 16)), title="posterior")
+    fn = os.path.join(tmp_path, "extra_panels.png")
+    p.output(name=fn)
+    assert os.path.getsize(fn) > 1000
+
+
 def test_hdf5_export(tmp_path, rng):
     pos = {"x": jnp.asarray(rng.normal(size=8))}
     resid = {"x": jnp.asarray(rng.normal(size=(4, 8)))}
