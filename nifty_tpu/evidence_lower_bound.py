@@ -153,11 +153,11 @@ def estimate_evidence_lower_bound(
     elif method == "slq":
         if key is None:
             key = jax.random.PRNGKey(0)
-        ravel = lambda x: jax.flatten_util.ravel_pytree(x)[0]
-        unravel = jax.flatten_util.ravel_pytree(samples.pos)[1]
-        met = lambda x: ravel(ham.metric(samples.pos, unravel(x)))
+        # Tree-native SLQ: the metric acts directly on the latent pytree;
+        # Rademacher probes are drawn `random_like` the position tree.
+        met = lambda x: ham.metric(samples.pos, x)
         logdet = stochastic_lq_logdet(
-            met, slq_order, slq_samples, key, shape0=metric_size
+            met, slq_order, slq_samples, key, probe_like=samples.pos
         )
         tr_log_lat_cov = -0.5 * float(logdet)
         lower_error = 0.0  # stochastic; reflected in sample std instead

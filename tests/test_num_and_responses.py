@@ -76,6 +76,41 @@ def test_slq_logdet(rng, key):
     assert abs(float(logdet) - expected) / abs(expected) < 0.15
 
 
+def test_lanczos_tridiag_pytree(rng):
+    """Lanczos over a dict-structured (MultiDomain-style) operator."""
+    A = _spd(rng, 24)
+    B = _spd(rng, 16)
+
+    def op(t):
+        return {"a": jnp.asarray(A) @ t["a"], "b": jnp.asarray(B) @ t["b"]}
+
+    v = {"a": jnp.asarray(rng.normal(size=24)),
+         "b": jnp.asarray(rng.normal(size=16))}
+    tri, vecs = lanczos_tridiag(op, v, order=40)
+    ev_tri = np.sort(np.linalg.eigvalsh(np.asarray(tri)))
+    ev_full = np.sort(np.concatenate(
+        [np.linalg.eigvalsh(A), np.linalg.eigvalsh(B)]
+    ))
+    np.testing.assert_allclose(ev_tri, ev_full, rtol=1e-6, atol=1e-6)
+    assert jax.tree_util.tree_structure(vecs) == jax.tree_util.tree_structure(v)
+
+
+def test_slq_logdet_pytree(rng, key):
+    """SLQ logdet on a MultiDomain-style block metric via `probe_like`."""
+    A = _spd(rng, 40, cond=20.0)
+    B = _spd(rng, 24, cond=10.0)
+
+    def op(t):
+        return {"a": jnp.asarray(A) @ t["a"], "b": jnp.asarray(B) @ t["b"]}
+
+    probe_like = {"a": jnp.zeros(40), "b": jnp.zeros(24)}
+    logdet = stochastic_lq_logdet(
+        op, order=25, n_samples=40, key=key, probe_like=probe_like
+    )
+    expected = np.linalg.slogdet(A)[1] + np.linalg.slogdet(B)[1]
+    assert abs(float(logdet) - expected) / abs(expected) < 0.15
+
+
 def test_unique(rng):
     base = rng.normal(size=(3, 4))
     noisy = np.repeat(base, (3, 2, 4), axis=0) + 1e-12 * rng.normal(size=(9, 4))
