@@ -69,12 +69,19 @@ def draw_linear_residual(
     cg: Callable = conjugate_gradient.static_cg,
     cg_name: Optional[str] = None,
     cg_kwargs: Optional[dict] = None,
+    napprox: int = 0,
     _raise_nonposdef: bool = False,
 ) -> Tuple[P, Any]:
     """Draw one MGVI residual sample at ``pos``; returns ``(residual, info)``.
 
     The sample has covariance ``(M_lh + 1)^{-1}`` (the inverse Bayesian
     Fisher metric of the standardized Hamiltonian) when ``from_inverse``.
+
+    ``napprox > 0`` builds a diagonal preconditioner for the metric CG from
+    that many cheap metric samples (mean of squares leafwise — the
+    ``approximation2endo`` construction) before solving.  Parity: the
+    classic stack's ``napprox`` knob
+    (``src/minimization/kl_energies.py:126``, ``src/probing.py:142``).
     """
     if not isinstance(likelihood, Likelihood):
         raise TypeError(f"`likelihood` of invalid type {type(likelihood)!r}")
@@ -97,6 +104,25 @@ def draw_linear_residual(
         # matvec at fixed primals becomes FFT+pointwise only (amplitude
         # gathers etc. are traced once and turn into loop constants).
         met = lh.metric_at(p_liquid)
+        if napprox and napprox > 0 and "preconditioner" not in cg_kwargs:
+            from .probing import approximation2endo
+
+            # Metric samples are cheap (forward applications, no solve);
+            # their leafwise mean-square approximates diag(M_lh + 1).
+            def _metric_sample(k):
+                k_nll, k_prr = random.split(k, 2)
+                return tree_add(
+                    sample_likelihood(lh, p_liquid, key=k_nll),
+                    random_like(key=k_prr, primals=p_liquid),
+                )
+
+            # fold_in (not another split) keeps the nll/prior streams
+            # identical with and without preconditioning.
+            keys_np = random.split(random.fold_in(key, 0x9E37), napprox)
+            diag = approximation2endo(jax.vmap(_metric_sample)(keys_np))
+            cg_kwargs["preconditioner"] = Partial(
+                lambda d, r: tree_map(jnp.divide, r, d), diag
+            )
         smpl, info = cg(
             lambda t: tree_add(met(t), t),
             smpl,

@@ -117,3 +117,37 @@ def test_samples_container(rng, key):
     leaves, treedef = jax.tree_util.tree_flatten(s)
     s3 = jax.tree_util.tree_unflatten(treedef, leaves)
     np.testing.assert_allclose(s3[1]["x"], s[1]["x"])
+
+
+def test_napprox_preconditioner_reduces_cg_work(rng, key):
+    """`napprox` builds an approximation2endo diagonal preconditioner for
+    the draw-CG; on an ill-conditioned (strongly varying noise) metric a
+    CG budget that is too small without it suffices with it.
+
+    Parity: classic `napprox` (src/minimization/kl_energies.py:126,
+    src/probing.py:142)."""
+    n = 256
+    # Diagonal likelihood metric spanning 6 orders of magnitude.
+    w = jnp.asarray(np.geomspace(1e-2, 1e4, n))
+    lh = jft.Gaussian(
+        jnp.zeros(n), noise_cov_inv=lambda x: x * w
+    ).amend(
+        jft.Model(lambda p: p["x"], domain={"x": jft.ShapeWithDtype((n,))})
+    )
+    pos = {"x": jnp.zeros(n)}
+    budget = dict(resnorm=1e-6, maxiter=30, miniter=1)
+    _, info_plain = draw_linear_residual(lh, pos, key, cg_kwargs=dict(budget))
+    _, info_pre = draw_linear_residual(
+        lh, pos, key, napprox=16, cg_kwargs=dict(budget)
+    )
+    assert int(info_plain) > 0  # hit the iteration cap unpreconditioned
+    assert int(info_pre) == 0  # converged within the same budget
+
+    # The preconditioner must not change the solution (solve to high
+    # accuracy both ways and compare).
+    tight = dict(resnorm=1e-11, maxiter=1000)
+    s_plain, _ = draw_linear_residual(lh, pos, key, cg_kwargs=dict(tight))
+    s_pre, _ = draw_linear_residual(
+        lh, pos, key, napprox=16, cg_kwargs=dict(tight)
+    )
+    np.testing.assert_allclose(s_pre["x"], s_plain["x"], rtol=2e-4, atol=2e-6)
