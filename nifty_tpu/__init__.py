@@ -92,9 +92,12 @@ from .refine import (
     RefinementHPField,
 )
 from .responses import (
+    HarmonicSKI,
     SamplingCartesianGridLOS,
     StructuredKernelInterpolation,
+    ToeplitzSKI,
     interpolation_matrix,
+    matmul_bttb,
     matmul_toeplitz,
 )
 from .probing import (

@@ -1,2 +1,9 @@
 from .los import SamplingCartesianGridLOS
-from .ski import StructuredKernelInterpolation, interpolation_matrix, matmul_toeplitz
+from .ski import (
+    HarmonicSKI,
+    StructuredKernelInterpolation,
+    ToeplitzSKI,
+    interpolation_matrix,
+    matmul_bttb,
+    matmul_toeplitz,
+)

@@ -23,7 +23,7 @@ import numpy as np
 from jax import numpy as jnp
 
 from ..model import Model
-from ..ops.harmonic import fourier_mode_lengths, hartley
+from ..ops.harmonic import fourier_mode_distributor, fourier_mode_lengths, hartley
 from ..tree import ShapeWithDtype
 
 
@@ -93,6 +93,282 @@ def adjoint_interpolation(indices, weights, values, grid_size):
         (weights * values[None, :]).ravel(), indices.ravel(),
         num_segments=grid_size,
     )
+
+
+def matmul_bttb(kernel_row, x):
+    """Multiply the n-D (block-)Toeplitz covariance defined by
+    ``K[i,j] = kernel_row[|i-j|]`` onto a grid-shaped ``x`` — exact, via
+    circulant embedding to ``2N-1`` per axis and one n-D FFT.
+
+    ``kernel_row`` holds the kernel evaluated at the distance of every grid
+    point to the zero corner (shape = grid shape).  This generalizes the
+    1-D ``matmul_toeplitz`` to arbitrary dimension (the reference's
+    ``ToeplitzSKI`` only multiplies along the leading axis); on TPU the
+    whole product is one batched FFT + pointwise + inverse FFT.
+    """
+    shp = kernel_row.shape
+    if x.shape != shp:
+        raise ValueError(f"x of shape {x.shape} does not match grid {shp}")
+    emb_shp = tuple(2 * s - 1 for s in shp)
+    # Embed: index m along each axis maps to distance min(m, 2s-1-m).
+    emb = kernel_row
+    for ax, s in enumerate(shp):
+        mirror = jax.lax.slice_in_dim(emb, 1, s, axis=ax)
+        emb = jnp.concatenate([emb, jnp.flip(mirror, axis=ax)], axis=ax)
+    ft_k = jnp.fft.rfftn(emb)
+    ft_x = jnp.fft.rfftn(x, s=emb_shp)
+    prod = jnp.fft.irfftn(ft_k * ft_x, s=emb_shp)
+    return prod[tuple(slice(0, s) for s in shp)]
+
+
+def _parse_jitter(jitter, sampling_points):
+    if jitter is True:
+        dt = np.asarray(sampling_points).dtype
+        return 1e-8 if dt == np.float64 else 1e-6
+    if jitter is False or jitter is None:
+        return None
+    return float(jitter)
+
+
+class HarmonicSKI:
+    """KISS-GP covariance operator with a harmonic (stationary-kernel)
+    representation: ``C = W K W^T + jitter`` applied matrix-free.
+
+    ``K`` is circulant on a padded inducing grid; with the unnormalized
+    Hartley transform ``H`` (``H = H^T``, ``H^2 = N·I``) and a continuous
+    Fourier power ``P(k)``, ``K x = H((P/V) ⊙ H x)`` where ``V`` is the
+    padded grid volume.  ``W`` is multilinear interpolation stored as
+    gather tables (adjoint = segment-sum) — no sparse matrices.
+
+    Capability parity: ``HarmonicSKI``
+    (``src/re/structured_kernel_interpolation.py:122-316``): ``power`` /
+    ``amplitude`` / ``harmonic_transform`` / ``correlated_field`` /
+    ``sandwich`` / ``__call__`` / ``evaluate`` / ``evaluate_``.
+    """
+
+    def __init__(
+        self,
+        grid_shape: Tuple[int, ...],
+        grid_bounds,
+        sampling_points,
+        harmonic_kernel: Optional[Callable] = None,
+        padding: float = 0.5,
+        subslice=None,
+        jitter=True,
+    ):
+        self.jitter = _parse_jitter(jitter, sampling_points)
+        grid_shape = tuple(int(s) for s in grid_shape)
+        grid_bounds = np.asarray(grid_bounds, dtype=float)
+        self.grid_unpadded_shape = grid_shape
+        self.grid_unpadded_bounds = grid_bounds
+        self._indices, self._weights = interpolation_matrix(
+            grid_shape, grid_bounds, sampling_points
+        )
+        self.n_points = np.asarray(sampling_points).shape[1]
+
+        if padding:
+            pad = 1.0 + padding
+            shape_wpad = tuple(int(np.ceil(s * pad)) for s in grid_shape)
+            scl = np.array(shape_wpad) / np.array(grid_shape)
+            halfp = (grid_bounds[:, 1] - grid_bounds[:, 0]) * (scl - 1.0) / 2.0
+            bounds_wpad = np.stack(
+                [grid_bounds[:, 0] - halfp, grid_bounds[:, 1] + halfp], axis=1
+            )
+            if subslice is None:
+                subslice = tuple(slice(0, s) for s in grid_shape)
+        else:
+            shape_wpad, bounds_wpad = grid_shape, grid_bounds
+        self.grid_shape = tuple(shape_wpad)
+        self.grid_bounds = np.asarray(bounds_wpad)
+        distances = (
+            (self.grid_bounds[:, 1] - self.grid_bounds[:, 0])
+            / np.array(self.grid_shape)
+        )
+        self.grid_distances = distances
+        self.grid_total_volume = float(
+            np.prod(np.array(self.grid_shape) * distances)
+        )
+        if isinstance(subslice, int):
+            subslice = (slice(0, subslice),) * len(self.grid_shape)
+        elif isinstance(subslice, slice):
+            subslice = (subslice,) * len(self.grid_shape)
+        elif subslice is not None:
+            subslice = tuple(
+                slice(0, el) if isinstance(el, int) else el for el in subslice
+            )
+        self.grid_subslice = subslice
+
+        (self.power_distributor, self.unique_mode_lengths, _) = (
+            fourier_mode_distributor(self.grid_shape, distances)
+        )
+        self._harmonic_kernel = harmonic_kernel
+
+    @property
+    def harmonic_kernel(self) -> Callable:
+        if self._harmonic_kernel is None:
+            raise TypeError(
+                "provide `harmonic_kernel` at init or per call"
+            )
+        return self._harmonic_kernel
+
+    def power(self, harmonic_kernel: Optional[Callable] = None):
+        """Continuous Fourier power on the unique padded-grid modes."""
+        hk = self.harmonic_kernel if harmonic_kernel is None else harmonic_kernel
+        return hk(jnp.asarray(self.unique_mode_lengths))
+
+    def amplitude(self, harmonic_kernel: Optional[Callable] = None):
+        return jnp.sqrt(self.power(harmonic_kernel))
+
+    def harmonic_transform(self, x):
+        return hartley(x) / self.grid_total_volume
+
+    def correlated_field(self, x, harmonic_kernel: Optional[Callable] = None):
+        """Generative view: white harmonic latent → GP on the inducing grid
+        (covariance = the circulant ``K``)."""
+        amp = self.amplitude(harmonic_kernel) / np.sqrt(
+            self.grid_total_volume
+        )
+        f = hartley(amp[self.power_distributor] * x)
+        return f if self.grid_subslice is None else f[self.grid_subslice]
+
+    def sandwich(self, x, harmonic_kernel: Optional[Callable] = None):
+        """Apply the (sub-sliced) circulant grid covariance ``K``."""
+        if self.grid_subslice is not None:
+            x_wpad = jnp.zeros(self.grid_shape, dtype=x.dtype)
+            x_wpad = x_wpad.at[self.grid_subslice].set(x)
+        else:
+            x_wpad = x
+        p = self.power(harmonic_kernel)[self.power_distributor]
+        s = hartley(p * hartley(x_wpad)) / self.grid_total_volume
+        return s if self.grid_subslice is None else s[self.grid_subslice]
+
+    def __call__(self, x, harmonic_kernel: Optional[Callable] = None):
+        """Apply the data-space covariance ``W K W^T (+ jitter)``."""
+        jit_term = 0.0 if self.jitter is None else self.jitter * x
+        g = adjoint_interpolation(
+            self._indices, self._weights, x.ravel(),
+            int(np.prod(self.grid_unpadded_shape)),
+        ).reshape(self.grid_unpadded_shape)
+        g = self.sandwich(g, harmonic_kernel)
+        out = apply_interpolation(self._indices, self._weights, g.ravel())
+        return out.reshape(x.shape) + jit_term
+
+    def evaluate(self, harmonic_kernel: Optional[Callable] = None):
+        """Materialize the covariance by probing with unit vectors."""
+        eye = jnp.eye(self.n_points)
+        return jax.lax.map(
+            lambda e: self(e, harmonic_kernel=harmonic_kernel), eye
+        ).T
+
+    def evaluate_(self, kernel: Callable):
+        """Explicit check: ``W k(|p - p'|) W^T`` from a position-space
+        kernel on the *unpadded* inducing grid (scipy distance matrix)."""
+        from scipy.spatial import distance_matrix
+
+        d_unpad = (
+            (self.grid_unpadded_bounds[:, 1] - self.grid_unpadded_bounds[:, 0])
+            / np.array(self.grid_unpadded_shape)
+        )
+        p = [
+            b[0] + d * np.arange(s)
+            for b, d, s in zip(
+                self.grid_unpadded_bounds, d_unpad, self.grid_unpadded_shape
+            )
+        ]
+        p = np.stack(np.meshgrid(*p, indexing="ij"), axis=-1)
+        p = p.reshape(-1, len(self.grid_unpadded_shape))
+        k_ind = np.asarray(kernel(distance_matrix(p, p)))
+        w_dense = np.zeros((self.n_points, k_ind.shape[0]))
+        idx, wgt = np.asarray(self._indices), np.asarray(self._weights)
+        for c in range(idx.shape[0]):
+            np.add.at(w_dense, (np.arange(self.n_points), idx[c]), wgt[c])
+        cov = w_dense @ k_ind @ w_dense.T
+        if self.jitter is not None:
+            cov = cov + self.jitter * np.eye(self.n_points)
+        return cov
+
+
+class ToeplitzSKI:
+    """KISS-GP covariance with an exact (block-)Toeplitz kernel matrix on
+    the inducing grid: ``C = W K W^T + jitter`` with
+    ``K[i,j] = kernel(|p_i - p_j|)`` applied via :func:`matmul_bttb` —
+    exact in any dimension (no padding heuristics needed).
+
+    Capability parity: ``ToeplitzSKI``
+    (``src/re/structured_kernel_interpolation.py:317-396``).
+    """
+
+    def __init__(
+        self,
+        grid_shape: Tuple[int, ...],
+        grid_bounds,
+        sampling_points,
+        kernel: Optional[Callable] = None,
+        jitter=True,
+    ):
+        self.jitter = _parse_jitter(jitter, sampling_points)
+        grid_shape = tuple(int(s) for s in grid_shape)
+        grid_bounds = np.asarray(grid_bounds, dtype=float)
+        self.grid_shape = grid_shape
+        self.grid_bounds = grid_bounds
+        distances = (grid_bounds[:, 1] - grid_bounds[:, 0]) / np.array(
+            grid_shape
+        )
+        self.grid_distances = distances
+        mg = np.mgrid[tuple(slice(0, s) for s in grid_shape)].astype(float)
+        mg *= distances.reshape((-1,) + (1,) * len(grid_shape))
+        self.grid_distances_to_zero = jnp.asarray(
+            np.linalg.norm(mg, axis=0)
+        )
+        self._indices, self._weights = interpolation_matrix(
+            grid_shape, grid_bounds, sampling_points
+        )
+        self.n_points = np.asarray(sampling_points).shape[1]
+        self._kernel = kernel
+
+    @property
+    def kernel(self) -> Callable:
+        if self._kernel is None:
+            raise TypeError("provide `kernel` at init or per call")
+        return self._kernel
+
+    def __call__(self, x, kernel: Optional[Callable] = None):
+        kernel = self.kernel if kernel is None else kernel
+        jit_term = 0.0 if self.jitter is None else self.jitter * x
+        g = adjoint_interpolation(
+            self._indices, self._weights, x.ravel(),
+            int(np.prod(self.grid_shape)),
+        ).reshape(self.grid_shape)
+        row = kernel(self.grid_distances_to_zero)
+        g = matmul_bttb(row, g)
+        out = apply_interpolation(self._indices, self._weights, g.ravel())
+        return out.reshape(x.shape) + jit_term
+
+    def evaluate(self, kernel: Optional[Callable] = None):
+        eye = jnp.eye(self.n_points)
+        return jax.lax.map(lambda e: self(e, kernel=kernel), eye).T
+
+    def evaluate_(self, kernel: Optional[Callable] = None):
+        from scipy.spatial import distance_matrix
+
+        kernel = self.kernel if kernel is None else kernel
+        p = [
+            b[0] + d * np.arange(s)
+            for b, d, s in zip(
+                self.grid_bounds, self.grid_distances, self.grid_shape
+            )
+        ]
+        p = np.stack(np.meshgrid(*p, indexing="ij"), axis=-1)
+        p = p.reshape(-1, len(self.grid_shape))
+        k_ind = np.asarray(kernel(distance_matrix(p, p)))
+        w_dense = np.zeros((self.n_points, k_ind.shape[0]))
+        idx, wgt = np.asarray(self._indices), np.asarray(self._weights)
+        for c in range(idx.shape[0]):
+            np.add.at(w_dense, (np.arange(self.n_points), idx[c]), wgt[c])
+        cov = w_dense @ k_ind @ w_dense.T
+        if self.jitter is not None:
+            cov = cov + self.jitter * np.eye(self.n_points)
+        return cov
 
 
 class StructuredKernelInterpolation(Model):

@@ -379,3 +379,112 @@ def test_radio_response_model(rng, key):
     assert vis.shape == (25,)
     ve = _direct_dft(np.asarray(img), uv)
     assert np.abs(np.asarray(vis) - ve).max() / np.abs(ve).max() < 1e-3
+
+
+# -- SKI covariance models --------------------------------------------------
+# Capability parity: HarmonicSKI / ToeplitzSKI,
+# reference src/re/structured_kernel_interpolation.py:122-396.
+
+
+def _se_kernel(l):
+    return lambda r: np.exp(-(np.asarray(r) ** 2) / (2 * l**2))
+
+
+def _se_harmonic(l, ndim):
+    # Continuous FT of the squared-exponential, xi in cycles/length.
+    return lambda k: (2 * np.pi) ** (ndim / 2) * l**ndim * jnp.exp(
+        -2 * np.pi**2 * l**2 * k**2
+    )
+
+
+def test_matmul_bttb_matches_dense(rng):
+    """BTTB multiply == dense block-Toeplitz product (exact embedding)."""
+    shp = (7, 5)
+    d = (0.3, 0.7)
+    mg = np.mgrid[tuple(slice(0, s) for s in shp)].astype(float)
+    mg *= np.asarray(d).reshape(-1, 1, 1)
+    row = _se_kernel(0.9)(np.linalg.norm(mg, axis=0))
+    x = rng.normal(size=shp)
+    got = np.asarray(jft.matmul_bttb(jnp.asarray(row), jnp.asarray(x)))
+    # dense: K[i,j] = k(|p_i - p_j|)
+    p = mg.reshape(2, -1).T
+    from scipy.spatial import distance_matrix
+
+    K = _se_kernel(0.9)(distance_matrix(p, p))
+    np.testing.assert_allclose(got.ravel(), K @ x.ravel(), rtol=1e-10,
+                               atol=1e-10)
+
+
+def test_toeplitz_ski_evaluate_matches_explicit(rng):
+    """ToeplitzSKI probe-materialized covariance == dense W K W^T."""
+    gs, gb = (12, 10), ((0.0, 3.0), (-1.0, 1.0))
+    pts = np.stack([
+        rng.uniform(0.2, 2.6, size=25), rng.uniform(-0.8, 0.6, size=25)
+    ])
+    ski = jft.ToeplitzSKI(gs, gb, pts, kernel=_se_kernel(0.5))
+    cov = np.asarray(ski.evaluate())
+    cov_ref = ski.evaluate_()
+    np.testing.assert_allclose(cov, cov_ref, rtol=1e-6, atol=1e-9)
+    # covariance must be symmetric PSD
+    np.testing.assert_allclose(cov, cov.T, atol=1e-9)
+    assert np.linalg.eigvalsh(cov).min() > 0
+
+
+def test_toeplitz_ski_1d(rng):
+    gs, gb = (32,), ((0.0, 4.0),)
+    pts = rng.uniform(0.3, 3.5, size=(1, 40))
+    ski = jft.ToeplitzSKI(gs, gb, pts, kernel=_se_kernel(0.6), jitter=1e-7)
+    cov = np.asarray(ski.evaluate())
+    np.testing.assert_allclose(cov, ski.evaluate_(), rtol=1e-6, atol=1e-9)
+
+
+def test_harmonic_ski_evaluate_matches_explicit(rng):
+    """HarmonicSKI with the analytic SE Fourier power reproduces the
+    explicit position-space SE covariance (padding suppresses wrap)."""
+    l = 0.25
+    gs, gb = (16, 16), ((0.0, 2.0), (0.0, 2.0))
+    pts = np.stack([
+        rng.uniform(0.3, 1.7, size=30), rng.uniform(0.3, 1.7, size=30)
+    ])
+    ski = jft.HarmonicSKI(
+        gs, gb, pts, harmonic_kernel=_se_harmonic(l, 2), padding=1.0,
+        jitter=False,
+    )
+    cov = np.asarray(ski.evaluate())
+    cov_ref = ski.evaluate_(_se_kernel(l))
+    np.testing.assert_allclose(cov, cov_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_harmonic_ski_sandwich_is_cf_outer_product(rng, key):
+    """sandwich == correlated_field ∘ correlated_field^T (K = A A^T)."""
+    l = 0.3
+    gs, gb = (10, 8), ((0.0, 1.0), (0.0, 1.0))
+    pts = np.stack([rng.uniform(0.1, 0.9, size=5),
+                    rng.uniform(0.1, 0.9, size=5)])
+    ski = jft.HarmonicSKI(
+        gs, gb, pts, harmonic_kernel=_se_harmonic(l, 2), padding=0.5,
+        jitter=False,
+    )
+    x = jnp.asarray(rng.normal(size=gs))
+    cf = ski.correlated_field
+    cf_t = jax.linear_transpose(
+        cf, jax.ShapeDtypeStruct(ski.grid_shape, x.dtype)
+    )
+    got = cf(cf_t(x)[0])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ski.sandwich(x)), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_harmonic_ski_call_adjointness(rng):
+    """The full data-space covariance operator is self-adjoint."""
+    gs, gb = (12,), ((0.0, 1.0),)
+    pts = rng.uniform(0.1, 0.9, size=(1, 17))
+    ski = jft.HarmonicSKI(
+        gs, gb, pts, harmonic_kernel=_se_harmonic(0.2, 1), jitter=1e-8
+    )
+    a = jnp.asarray(rng.normal(size=17))
+    b = jnp.asarray(rng.normal(size=17))
+    np.testing.assert_allclose(
+        float(jnp.vdot(b, ski(a))), float(jnp.vdot(ski(b), a)), rtol=1e-8
+    )
