@@ -60,6 +60,7 @@ from .hmc_oo import Chain, HMCChain, NUTSChain
 from .logger import logger
 from .minisanity import minisanity, reduced_residual_stats
 from .misc import hvp, interpolate
+from .pytree_string import PyTreeString, hide_strings, unhide_strings
 from .model import Initializer, LazyModel, Model, WrappedCall, wrap, wrap_left
 from .models import (
     CorrelatedFieldMaker,

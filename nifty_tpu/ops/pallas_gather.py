@@ -30,6 +30,8 @@ primitive lowers to the plain XLA gather/segment-sum.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.extend
 import numpy as np
@@ -40,12 +42,18 @@ _BLOCK_ROWS = 32  # block = (_BLOCK_ROWS, 128) indices per grid step; larger
 # blocks amortize the per-bin scalar-load/loop overhead over more vregs.
 # NOTE: Mosaic's fori_loop only supports unroll=1 or full unroll.
 
+#: Run the Pallas kernels in interpret mode (CPU) — enables exercising the
+#: exact kernel code paths in the test suite without TPU hardware.
+_INTERPRET = os.environ.get("NIFTY_TPU_PALLAS_INTERPRET", "0") == "1"
+
 #: Largest table for which the select-loop kernel beats XLA's gather.
 #: Measured on TPU (see docs/design.md): gather wins 4-21x up to ~1k bins
-#: (1024^2/200 bins: 1.1 ms vs 9.2 ms; 4096^2/212: 6.5 ms vs 138.5 ms);
-#: the scalar-reduce scatter (transpose) only wins below ~300 bins.
+#: (1024^2/200 bins: 1.1 ms vs 9.2 ms; 4096^2/212: 6.5 ms vs 138.5 ms).
+#: Both kernels loop only over each block's *static* [min, max] bin range
+#: (for log-binned power spectra most blocks span a handful of bins), so
+#: per-element cost is O(bins-present-in-block), not O(nbins).
 SMALL_TABLE_MAX_BINS = 1024
-SCATTER_MAX_BINS = 256
+SCATTER_MAX_BINS = 1024
 
 
 def _pad_to(x, mult, axis=0, value=0):
@@ -60,45 +68,73 @@ def _pad_to(x, mult, axis=0, value=0):
 
 # -- kernels -------------------------------------------------------------
 
-def _gather_kernel(idx_ref, table_ref, out_ref):
+def _gather_kernel(lo_ref, hi_ref, idx_ref, table_ref, out_ref):
     from jax import lax
     from jax.experimental import pallas as pl
 
     ids = idx_ref[:]  # (BR, 128) int32
-    nbins = table_ref.shape[1]
     bidx = pl.program_id(0)  # table lives whole in SMEM; index the batch row
+    i = pl.program_id(1)  # ranges live whole in SMEM; index the block row
 
-    # Mosaic-safe select-accumulate: loop over bins with scalar loads and
-    # 2-D vector compare/select only (no reshapes across the lane dim).
+    # Mosaic-safe select-accumulate: loop over the *static bin range of
+    # this block* (log-binned index maps are locally narrow) with scalar
+    # loads and 2-D vector compare/select only.
     def body(b, acc):
         val = table_ref[bidx, b]
         return acc + jnp.where(ids == b, val, 0.0)
 
     out_ref[0] = lax.fori_loop(
-        0, nbins, body, jnp.zeros(ids.shape, dtype=out_ref.dtype)
+        lo_ref[i], hi_ref[i] + 1, body,
+        jnp.zeros(ids.shape, dtype=out_ref.dtype),
     )
 
 
-def _scatter_kernel(idx_ref, cot_ref, out_ref):
+def _scatter_kernel(lo_ref, hi_ref, idx_ref, cot_ref, out_ref, acc_ref):
+    """Per-bin segment sums with deferred cross-lane reduction.
+
+    Per block and bin only a sublane partial-sum lands in a VMEM
+    accumulator row (``acc[b, lane] += Σ_sublanes``); the expensive
+    cross-lane reduction happens ONCE per batch row at the final grid
+    step.  Like the gather, the bin loop covers only the block's static
+    [min, max] index range.
+    """
     from jax import lax
     from jax.experimental import pallas as pl
 
-    ids = idx_ref[:]
-    cot = cot_ref[0]
-    npad = out_ref.shape[1]
+    ids = idx_ref[:]  # (BR, 128)
+    cot = cot_ref[0]  # (BR, 128)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
 
-    bidx = pl.program_id(0)  # output lives whole in SMEM; index the batch row
-    first = pl.program_id(1) == 0
+    @pl.when(i == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(b, _):
-        # SMEM only supports scalar stores: fold the zero-init of the
-        # first grid step into the accumulation.
-        contrib = jnp.sum(jnp.where(ids == b, cot, 0.0))
-        prev = jnp.where(first, 0.0, out_ref[bidx, b])
-        out_ref[bidx, b] = prev + contrib
+        part = jnp.sum(
+            jnp.where(ids == b, cot, 0.0), axis=0, keepdims=True
+        )  # (1, 128) lane partials
+        acc_ref[pl.dslice(b, 1), :] = acc_ref[pl.dslice(b, 1), :] + part
         return 0
 
-    lax.fori_loop(0, npad, body, 0)
+    lax.fori_loop(lo_ref[i], hi_ref[i] + 1, body, 0)
+
+    @pl.when(i == n_i - 1)
+    def _finalize():
+        out_ref[0] = jnp.sum(acc_ref[...], axis=1, keepdims=True)
+
+
+def _block_ranges(idx2):
+    """Per-(BR,128)-block [min, max] of the index map.
+
+    The index map is a static model constant, so XLA folds these
+    reductions at compile time — the kernel's bin loops become
+    effectively-static narrow ranges at zero runtime cost.
+    """
+    blocks = idx2.reshape(-1, _BLOCK_ROWS * 128)
+    lo = jnp.min(blocks, axis=1).astype(jnp.int32)
+    hi = jnp.max(blocks, axis=1).astype(jnp.int32)
+    return lo, hi
 
 
 def _pallas_gather(table2, idx_flat_pad):
@@ -112,22 +148,31 @@ def _pallas_gather(table2, idx_flat_pad):
     rows = n // 128
     grid_i = rows // _BLOCK_ROWS
     idx2 = idx_flat_pad.reshape(rows, 128)
+    lo, hi = _block_ranges(idx2)
+    # lo/hi ride as scalar-prefetch operands (full 1-D arrays in SMEM,
+    # indexed by grid position inside the kernel).
     out = pl.pallas_call(
         _gather_kernel,
-        grid=(nbatch, grid_i),
-        in_specs=[
-            pl.BlockSpec((_BLOCK_ROWS, 128), lambda b, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            # the small table lives whole in SMEM (all batch rows): the
-            # kernel reads it with scalar loads inside the bin loop;
-            # Mosaic requires non-final block dims be 1 or the full dim
-            pl.BlockSpec((nbatch, table_pad.shape[1]), lambda b, i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _BLOCK_ROWS, 128), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nbatch, grid_i),
+            in_specs=[
+                pl.BlockSpec((_BLOCK_ROWS, 128), lambda b, i, lo, hi: (i, 0),
+                             memory_space=pltpu.VMEM),
+                # the small table lives whole in SMEM (all batch rows): the
+                # kernel reads it with scalar loads inside the bin loop;
+                # Mosaic requires non-final block dims be 1 or the full dim
+                pl.BlockSpec((nbatch, table_pad.shape[1]),
+                             lambda b, i, lo, hi: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _BLOCK_ROWS, 128),
+                                   lambda b, i, lo, hi: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((nbatch, rows, 128), table2.dtype),
-    )(idx2, table_pad)
+        interpret=_INTERPRET,
+    )(lo, hi, idx2, table_pad)
     return out.reshape(nbatch, -1)
 
 
@@ -142,20 +187,27 @@ def _pallas_scatter(cot2, idx_flat_pad, npad):
     grid_i = rows // _BLOCK_ROWS
     idx2 = idx_flat_pad.reshape(rows, 128)
     cot3 = cot2.reshape(nbatch, rows, 128)
+    lo, hi = _block_ranges(idx2)
     out = pl.pallas_call(
         _scatter_kernel,
-        grid=(nbatch, grid_i),
-        in_specs=[
-            pl.BlockSpec((_BLOCK_ROWS, 128), lambda b, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLOCK_ROWS, 128), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nbatch, npad), lambda b, i: (0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((nbatch, npad), cot2.dtype),
-    )(idx2, cot3)
-    return out
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nbatch, grid_i),
+            in_specs=[
+                pl.BlockSpec((_BLOCK_ROWS, 128), lambda b, i, lo, hi: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _BLOCK_ROWS, 128),
+                             lambda b, i, lo, hi: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, npad, 1), lambda b, i, lo, hi: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((npad, 128), cot2.dtype)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbatch, npad, 1), cot2.dtype),
+        interpret=_INTERPRET,
+    )(lo, hi, idx2, cot3)
+    return out.reshape(nbatch, npad)
 
 
 def _on_tpu():
@@ -175,7 +227,7 @@ bin_gather_p = jax.extend.core.Primitive("bin_gather")
 
 
 def _use_pallas(nb):
-    return _on_tpu() and nb <= SMALL_TABLE_MAX_BINS
+    return (_on_tpu() or _INTERPRET) and nb <= SMALL_TABLE_MAX_BINS
 
 
 def _gather_impl(table, idx):
@@ -194,7 +246,7 @@ def _gather_impl(table, idx):
 def _scatter_impl(cot, idx, nb):
     """Per-bin segment sums: cot (B, *idx.shape) -> (B, nb)."""
     nbatch = cot.shape[0]
-    if not (_on_tpu() and nb <= SCATTER_MAX_BINS):
+    if not ((_on_tpu() or _INTERPRET) and nb <= SCATTER_MAX_BINS):
         seg = jax.vmap(
             lambda c: jax.ops.segment_sum(c, idx.reshape(-1), num_segments=nb)
         )

@@ -664,7 +664,9 @@ def optimize_kl(
     sample_mode: SMPL_MODE_GENERIC_TYP = "nonlinear_resample",
     resume: Union[str, bool] = False,
     checkpoint_format: Literal["pickle", "orbax"] = "pickle",
+    transitions: Optional[Callable[[int], Optional[Callable]]] = None,
     callback: Optional[Callable[[Samples, OptimizeVIState], None]] = None,
+    inspect_callback: Optional[Callable] = None,
     terminate_callback: Optional[Callable[[Samples, OptimizeVIState], bool]] = None,
     plot_energy_history: bool = True,
     export_operator_outputs: Optional[dict] = None,
@@ -740,6 +742,15 @@ def optimize_kl(
     energy_history = []
     for i in range(state.nit, opt_vi.n_total_iterations):
         logger.info(f"{nm}: Starting {i + 1:04d}")
+        if transitions is not None:
+            # Per-iteration model transition (parity: the classic driver's
+            # `transitions`, src/minimization/optimize_kl.py:123-129): a
+            # callable of the global iteration returning a map applied to
+            # the current samples (or None for no-op) — used when parts of
+            # the model change between iterations.
+            tr = transitions(i)
+            if tr is not None:
+                samples = tr(samples)
         samples, state = opt_vi.update(samples, state)
         msg = opt_vi.get_status_message(samples, state, name=nm)
         logger.info(msg)
@@ -763,6 +774,18 @@ def optimize_kl(
             )
         if callback is not None:
             callback(samples, state)
+        if inspect_callback is not None:
+            # Parity: classic `inspect_callback`
+            # (src/minimization/optimize_kl.py:147-151) — one argument
+            # (samples) or two (samples, global iteration index).
+            try:
+                n_par = len(inspect.signature(inspect_callback).parameters)
+            except (TypeError, ValueError):
+                n_par = 2
+            if n_par == 1:
+                inspect_callback(samples)
+            else:
+                inspect_callback(samples, state.nit)
         if terminate_callback is not None and terminate_callback(samples, state):
             logger.info(f"{nm}: terminated early by `terminate_callback`")
             break

@@ -73,9 +73,13 @@ def _static_cg(
     maxiter: Optional[int] = None,
     preconditioner: Optional[Callable] = None,
     name: Optional[str] = None,
+    print_every: int = 1,
     _raise_nonposdef: bool = False,
     **_ignored,
 ) -> CGResults:
+    # Accept PyTreeString names (strings smuggled through jit as static
+    # pytree aux data; parity: src/re/tree_math/pytree_string.py).
+    name = None if name is None else str(name)
     norm_ord = 2 if norm_ord is None else norm_ord
     maxiter_fallback = 20 * size(j)
     if miniter is None:
@@ -178,9 +182,20 @@ def _static_cg(
         d = tree_axpy(beta, d, z)
 
         if name is not None:
-            jax.debug.print(
-                name + ": CG it {i} energy {e} diff {de}",
-                i=i, e=energy, de=energy_diff,
+            # Rate-limited in-jit progress line (every `print_every`-th
+            # iteration) — long solves on TPU stay observable without a
+            # callback per step.
+            def _emit(i, e, de):
+                jax.debug.print(
+                    name + ": CG it {i} energy {e} diff {de}",
+                    i=i, e=e, de=de,
+                )
+
+            lax.cond(
+                i % print_every == 0,
+                lambda op: _emit(*op),
+                lambda op: None,
+                (i, energy, energy_diff),
             )
         return {
             "info": info, "pos": pos, "r": r, "d": d, "z": z,

@@ -104,6 +104,7 @@ def _newton_cg(
     linearize_hessp: bool = True,
     **_ignored,
 ) -> OptimizeResults:
+    name = None if name is None else str(name)  # PyTreeString-compatible
     norm_ord = 1 if norm_ord is None else norm_ord
     miniter = 0 if miniter is None else miniter
     maxiter = 200 if maxiter is None else maxiter

@@ -169,3 +169,29 @@ def test_vmapped_metric_cg_with_forced_primitive(monkeypatch):
                     jax.tree_util.tree_leaves(out2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_kernels_interpret_mode_match_xla(monkeypatch):
+    """Run the actual Pallas kernel bodies (interpret mode) against the XLA
+    lowering — covers the kernels' select-loop, static bin ranges, and the
+    scatter's deferred cross-lane reduction without TPU hardware."""
+    from nifty_tpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(11)
+    nb = 96
+    # > one grid block (block = 32*128 = 4096) incl. a ragged tail
+    idx = rng.integers(0, nb, size=9000)
+    # make block ranges genuinely narrow for some blocks (sorted half)
+    idx[:4096] = np.sort(idx[:4096])
+    idx = jnp.asarray(idx)
+    t = jnp.asarray(rng.standard_normal(nb))
+    ct = jnp.asarray(rng.standard_normal(9000))
+
+    monkeypatch.setattr(pg, "_INTERPRET", True)
+    got_fwd = pg.bin_gather(t, idx)
+    got_adj = pg.bin_scatter_p.bind(ct[None], idx, nb=nb)[0]
+    monkeypatch.setattr(pg, "_INTERPRET", False)
+    ref_fwd = t[idx]
+    ref_adj = jax.ops.segment_sum(ct, idx, num_segments=nb)
+    np.testing.assert_allclose(got_fwd, ref_fwd, rtol=1e-13)
+    np.testing.assert_allclose(got_adj, ref_adj, rtol=1e-12)
