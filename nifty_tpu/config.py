@@ -19,10 +19,19 @@ _config = {
     # ``/root/reference/src/config.py:14``) computes ``Re(F) + Im(F)``;
     # "canonical_hartley" computes ``Re(F) - Im(F)``.
     "hartley_convention": "non_canonical_hartley",
+    # Mesh-independent reductions: when True, the tree-vector dot products
+    # and norms (the scalars steering every CG/NCG/line-search branch) use
+    # a fixed fold-halving association order that depends only on array
+    # shapes — never on the device mesh — so inference results are
+    # reproducible across mesh extents (the TPU-native analog of the
+    # reference's deterministic MPI allreduce, src/utilities.py:332-339).
+    # Off by default: native reductions are faster single-chip.
+    "deterministic_reductions": False,
 }
 
 _ALLOWED = {
     "hartley_convention": ("non_canonical_hartley", "canonical_hartley"),
+    "deterministic_reductions": (True, False),
 }
 
 

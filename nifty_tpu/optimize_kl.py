@@ -60,7 +60,17 @@ from .tree import get_map, vdot
 
 P = TypeVar("P")
 
-_reduce = partial(tree_map, partial(jnp.mean, axis=0))
+
+def _reduce(tree):
+    """Sample-mean reduce; honors the global `deterministic_reductions`
+    flag (fixed-association pairwise mean → mesh-independent results)."""
+    from . import config
+
+    if config.get("deterministic_reductions"):
+        from .parallel.mesh import tree_pairwise_mean
+
+        return tree_pairwise_mean(tree)
+    return tree_map(partial(jnp.mean, axis=0), tree)
 
 
 class _StandardHamiltonian(LazyModel):
@@ -663,7 +673,7 @@ def optimize_kl(
     kl_kwargs=dict(minimize_kwargs=dict()),
     sample_mode: SMPL_MODE_GENERIC_TYP = "nonlinear_resample",
     resume: Union[str, bool] = False,
-    checkpoint_format: Literal["pickle", "orbax"] = "pickle",
+    checkpoint_format: Optional[Literal["pickle", "orbax"]] = None,
     transitions: Optional[Callable[[int], Optional[Callable]]] = None,
     callback: Optional[Callable[[Samples, OptimizeVIState], None]] = None,
     inspect_callback: Optional[Callable] = None,
@@ -679,6 +689,11 @@ def optimize_kl(
     driver's export/plot/terminate hooks
     (``src/minimization/optimize_kl.py:281-340,404-408,461+``).
     """
+    if checkpoint_format is None:
+        # Multi-process runs default to the multi-host-safe array format
+        # (every process writes only its own shards); single-process runs
+        # keep the simple exact pickle.
+        checkpoint_format = "orbax" if jax.process_count() > 1 else "pickle"
     ckpt_name = "last.pkl" if checkpoint_format == "pickle" else "last_ckpt"
 
     opt_vi = _optimize_vi

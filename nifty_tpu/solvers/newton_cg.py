@@ -102,6 +102,7 @@ def _newton_cg(
     cg_kwargs: Optional[dict] = None,
     custom_gradnorm: Optional[Callable] = None,
     linearize_hessp: bool = True,
+    ls_margin: Optional[float] = None,
     **_ignored,
 ) -> OptimizeResults:
     name = None if name is None else str(name)  # PyTreeString-compatible
@@ -120,6 +121,18 @@ def _newton_cg(
 
     energy0, g0 = fun_and_grad(x0)
     energy0 = jnp.where(jnp.isnan(energy0), jnp.inf, energy0)
+    # Nonmonotone acceptance margin for the line search: a trial point is
+    # accepted when it does not increase the energy by more than
+    # `ls_margin * |energy|`.  A strict `>` comparison is a knife edge near
+    # convergence (trial and current energies agree to rounding) where
+    # run-to-run float-reduction noise (e.g. different mesh shardings)
+    # flips the branch and chaotically perturbs the iterate by the step
+    # scale; the margin makes near-tie comparisons deterministically
+    # accept, bounding cross-mesh divergence to the smooth noise level.
+    if ls_margin is None:
+        ls_margin = 1e4 * float(
+            jnp.finfo(jnp.asarray(energy0).dtype).eps
+        )
     old_fval0 = jnp.asarray(
         jnp.inf if old_fval is None else old_fval, dtype=jnp.asarray(energy0).dtype
     )
@@ -173,9 +186,12 @@ def _newton_cg(
         status = jnp.where(cg_info < 0, -1, status)  # hard CG failure -> stop
 
         # Energy-monotonic backtracking line search with a gradient-rescue
-        # reset after 5 failed halvings (reference `optimize.py:172-193`).
+        # reset after 5 failed halvings (reference `optimize.py:172-193`),
+        # with a nonmonotone acceptance margin (see `ls_margin` above).
+        accept_tol = ls_margin * jnp.abs(energy)
+
         def ls_cond(ls):
-            return (ls["new_energy"] > energy) & (ls["it"] < 9)
+            return (ls["new_energy"] > energy + accept_tol) & (ls["it"] < 9)
 
         def ls_body(ls):
             it = ls["it"] + 1
@@ -209,7 +225,7 @@ def _newton_cg(
             "it": jnp.asarray(0), "scale": scale0, "dd": dd0,
             "new_pos": new_pos0, "new_energy": new_energy0, "new_g": new_g0,
         })
-        ls_failed = ls["new_energy"] > energy
+        ls_failed = ls["new_energy"] > energy + accept_tol
         # On failure keep the previous point and stop.
         status = jnp.where(ls_failed & (status == -2), -1, status)
         new_pos = where(ls_failed, pos, ls["new_pos"])
@@ -226,9 +242,11 @@ def _newton_cg(
 
         min_cond = (ls["it"] < 2) & (i > miniter)
         if absdelta is not None:
+            # `-accept_tol`: an accepted near-tie step (energy_diff a hair
+            # negative within the margin) still counts as converged.
             status = jnp.where(
-                (energy_diff >= 0) & (energy_diff < absdelta) & min_cond
-                & (status == -2),
+                (energy_diff >= -accept_tol) & (energy_diff < absdelta)
+                & min_cond & (status == -2),
                 0, status,
             )
         status = jnp.where(

@@ -239,14 +239,46 @@ def tree_axpy(c, x, y):
     return tree_map(lambda xe, ye: ye + c * xe, x, y)
 
 
+def _fold_halving_sum(z):
+    """Scalar sum with a *fixed* association order (a function of the shape
+    only, never of the device mesh): trailing axes are reduced locally
+    per-row, then the leading (possibly mesh-sharded) axis is folded in
+    half repeatedly.  Enables bitwise-reproducible solver scalars across
+    mesh extents (cf. the reference's deterministic MPI allreduce,
+    ``src/utilities.py:332-339``)."""
+    z = jnp.asarray(z)
+    if z.ndim == 0:
+        return z
+    if z.ndim > 1:
+        z = jnp.sum(z, axis=tuple(range(1, z.ndim)))
+    n = z.shape[0]
+    while n > 1:
+        m = n // 2
+        folded = z[:m] + z[m : 2 * m]
+        if n % 2:
+            folded = jnp.concatenate([folded, z[2 * m :]])
+        z = folded
+        n = z.shape[0]
+    return z[0]
+
+
 def vdot(a, b, *, precision=None):
     """Tree-wide ``sum_i conj(a_i) * b_i`` reduced to a scalar.
 
     On TPU the leaf-level reduction uses ``jnp.vdot`` with HIGHEST precision
     by default so f32 CG scalars do not lose accuracy to bf16 MXU passes —
     the TPU-native analog of the reference's ducc f64 ``vdot``
-    (``src/ducc_dispatch.py:81-86``).
+    (``src/ducc_dispatch.py:81-86``).  With the global
+    ``deterministic_reductions`` config flag the reduction association is
+    fixed (mesh-independent), trading a little speed for cross-mesh
+    bitwise reproducibility.
     """
+    if config.get("deterministic_reductions"):
+        def leaf_vdot_det(x, y):
+            return _fold_halving_sum(jnp.conj(x) * y)
+
+        return tree_reduce(operator.add, tree_map(leaf_vdot_det, a, b), 0.0)
+
     precision = jax.lax.Precision.HIGHEST if precision is None else precision
 
     def leaf_vdot(x, y):
@@ -276,6 +308,12 @@ def norm(tree, ord=2, *, ravel=False):
     if ord == 2:
         return jnp.sqrt(vdot(tree, tree).real)
     if ord == 1:
+        if config.get("deterministic_reductions"):
+            return tree_reduce(
+                operator.add,
+                tree_map(lambda x: _fold_halving_sum(jnp.abs(x)), tree),
+                0.0,
+            )
         return tree_reduce(
             operator.add, tree_map(lambda x: jnp.sum(jnp.abs(x)), tree), 0.0
         )
