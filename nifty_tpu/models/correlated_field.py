@@ -671,8 +671,17 @@ class CorrelatedFieldMaker:
             np.asarray(g.harmonic_grid.power_distributor) for g in grids
         )
 
-        def outer_amplitude(p):
-            outer = distribute_power(namps[0](p), distributors[0])
+        def outer_amplitude(p, scale=None):
+            # The zero-mode scalar multiplies the *small* amplitude table
+            # before distribution: `azm * gather(t) == gather(azm * t)`
+            # bitwise (identical per-element products), it saves one
+            # full-grid multiply pass, and the scalar's cotangent becomes
+            # a small replicated-table reduction (deterministic across
+            # meshes) instead of a grid-wide autodiff reduction.
+            t0 = namps[0](p)
+            if scale is not None:
+                t0 = scale * t0
+            outer = distribute_power(t0, distributors[0])
             for amp, dist in zip(namps[1:], distributors[1:]):
                 outer = jnp.tensordot(
                     outer, distribute_power(amp(p), dist), axes=0
@@ -680,8 +689,8 @@ class CorrelatedFieldMaker:
             return outer
 
         def correlated_field(p):
-            ea = outer_amplitude(p)
-            cf_h = azm(p) * ea * p[pfx]
+            ea = outer_amplitude(p, scale=azm(p))
+            cf_h = ea * p[pfx]
             return offset_mean + outer_harmonic_transform(cf_h)
 
         if total_N > 0:
@@ -707,8 +716,8 @@ class CorrelatedFieldMaker:
             )
 
             def field_one(pset, xi):
-                ea = outer_amplitude(pset)
-                cf_h = azm(pset) * ea * xi
+                ea = outer_amplitude(pset, scale=azm(pset))
+                cf_h = ea * xi
                 return offset_mean + outer_harmonic_transform(cf_h)
 
             def batched_field(p):

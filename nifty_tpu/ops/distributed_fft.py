@@ -210,17 +210,50 @@ def distributed_fftn(x, mesh: Mesh, axis_name: str = "field"):
     return fn(x)
 
 
+_SYM_DIST_HARTLEY_FNS: dict = {}
+
+
 def distributed_hartley(x, mesh: Mesh, axis_name: str = "field"):
     """Hartley transform of a real array sharded along axis 0, computed at
     rfft cost (only ``n_last/2+1`` spectral columns are transformed and
-    communicated)."""
-    spec = P(*([axis_name] + [None] * (x.ndim - 1)))
-    fn = shard_map_fn(
-        partial(_local_hartley_sharded0, axis_name=axis_name,
-                spatial_ndim=x.ndim),
-        mesh, spec,
-    )
-    return fn(x)
+    communicated).
+
+    Under the global ``deterministic_reductions`` flag, the linear
+    transpose is pinned to the forward program (``H^T = H``; see the local
+    :func:`nifty_tpu.ops.harmonic.hartley`), so forward and adjoint are
+    bitwise identical and mesh-independent.
+    """
+    from .. import config as _cfg
+    from .linear_prim import self_adjoint_linear
+
+    spatial_ndim = x.ndim
+
+    def apply(v):
+        # rank-agnostic: extra leading dims are vmap batch dims — the
+        # field-sharded axis is always the first *spatial* axis.
+        lead = v.ndim - spatial_ndim
+        spec = P(*([None] * lead + [axis_name] + [None] * (spatial_ndim - 1)))
+        fn = jax.shard_map(
+            partial(_local_hartley_sharded0, axis_name=axis_name,
+                    spatial_ndim=spatial_ndim),
+            mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False,
+        )
+        return fn(v)
+
+    if not _cfg.get("deterministic_reductions"):
+        spec = P(*([axis_name] + [None] * (x.ndim - 1)))
+        fn = shard_map_fn(
+            partial(_local_hartley_sharded0, axis_name=axis_name,
+                    spatial_ndim=x.ndim),
+            mesh, spec,
+        )
+        return fn(x)
+
+    key = (mesh, axis_name, spatial_ndim)
+    cached = _SYM_DIST_HARTLEY_FNS.get(key)
+    if cached is None:
+        _SYM_DIST_HARTLEY_FNS[key] = cached = apply
+    return self_adjoint_linear(cached, x)
 
 
 def shard_map_fn(fn, mesh: Mesh, spec: P):

@@ -64,14 +64,43 @@ def _unfold_hermitian(half, full_shape, axes):
     return jnp.concatenate([h_stored, h_tail], axis=ax_last)
 
 
-def hartley(x, axes: Optional[Tuple[int, ...]] = None):
-    """Hartley transform; real-FFT fast path for real inputs."""
-    axes = _axes(x, axes)
+def _hartley_impl(x, axes):
     if jnp.iscomplexobj(x):
         return hartley_via_c2c(x, axes=axes)
     full_shape = tuple(x.shape)
     half = jnp.fft.rfftn(x, axes=axes)
     return _unfold_hermitian(half, full_shape, axes)
+
+
+_SYM_HARTLEY_FNS: dict = {}
+
+
+def hartley(x, axes: Optional[Tuple[int, ...]] = None):
+    """Hartley transform; real-FFT fast path for real inputs.
+
+    Under the global ``deterministic_reductions`` flag, the linear
+    transpose is pinned to the *forward implementation itself* (the
+    full-grid Hartley matrix is symmetric, ``H^T = H``), making forward
+    and adjoint the same program bit-for-bit — a prerequisite for
+    mesh-independent inference (the forward is bitwise mesh-independent;
+    an autodiff-derived transpose program need not be).
+    """
+    from functools import partial as _partial
+
+    from .. import config as _cfg
+    from .linear_prim import self_adjoint_linear
+
+    axes = _axes(x, axes)
+    if not _cfg.get("deterministic_reductions"):
+        return _hartley_impl(x, axes)
+    # Negative axes keep the map rank-agnostic over leading batch dims
+    # (required by the self-adjoint primitive's batching rule).
+    neg = tuple(sorted(ax - jnp.ndim(x) for ax in axes))
+    fn = _SYM_HARTLEY_FNS.get(neg)
+    if fn is None:
+        fn = _partial(_hartley_impl, axes=neg)
+        _SYM_HARTLEY_FNS[neg] = fn
+    return self_adjoint_linear(fn, x)
 
 
 def fftn(x, axes=None):

@@ -73,3 +73,43 @@ def make_linear_pair(name, fwd, adj, fwd_out_aval, adj_out_aval):
     _setup(p_fwd, fwd, fwd_out_aval, p_adj)
     _setup(p_adj, adj, adj_out_aval, p_fwd)
     return (lambda x: p_fwd.bind(x)), (lambda y: p_adj.bind(y))
+
+
+# -- self-adjoint linear maps ----------------------------------------------
+#
+# A single primitive for shape-preserving linear maps whose transpose IS
+# the forward (symmetric operators, e.g. the full-grid Hartley).  Pinning
+# transpose == forward makes adjoint applications bitwise identical to
+# forward ones — a prerequisite for mesh-independent inference (an
+# autodiff-derived transpose program need not be reduction-order stable
+# across shardings).  ``fn`` must be rank-agnostic over *leading batch
+# dims* (it receives the batched operand directly under ``vmap``).
+
+self_adjoint_p = jax.extend.core.Primitive("self_adjoint_linear")
+
+
+def self_adjoint_linear(fn, x):
+    """Apply the symmetric linear map ``fn`` with transpose pinned to
+    ``fn`` itself.  ``fn`` must preserve shape/dtype and accept extra
+    leading batch dimensions."""
+    return self_adjoint_p.bind(x, fn=fn)
+
+
+self_adjoint_p.def_impl(lambda x, *, fn: fn(x))
+self_adjoint_p.def_abstract_eval(lambda x, *, fn: x)
+ad.deflinear2(
+    self_adjoint_p, lambda ct, x, *, fn: [self_adjoint_p.bind(ct, fn=fn)]
+)
+
+
+def _self_adjoint_batcher(args, dims, *, fn):
+    (x,), (d,) = args, dims
+    x = jnp.moveaxis(x, d, 0)
+    return self_adjoint_p.bind(x, fn=fn), 0
+
+
+batching.primitive_batchers[self_adjoint_p] = _self_adjoint_batcher
+mlir.register_lowering(
+    self_adjoint_p,
+    mlir.lower_fun(lambda x, *, fn: fn(x), multiple_results=False),
+)

@@ -243,9 +243,46 @@ def _gather_impl(table, idx):
     return out[:, :n].reshape((nbatch,) + idx.shape)
 
 
+def _deterministic_scatter(cot, idx, nb):
+    """Mesh-independent per-bin segment sums: per-row (trailing-axes)
+    segment sums are local and deterministic; the leading (possibly
+    mesh-sharded) axis is then reduced with a fixed fold-halving tree.
+    Association depends only on shapes — never on the device mesh."""
+    nbatch = cot.shape[0]
+    if idx.ndim < 2:
+        idx2 = idx.reshape(1, -1)
+    else:
+        idx2 = idx.reshape(idx.shape[0], -1)
+    cot3 = cot.reshape(nbatch, idx2.shape[0], idx2.shape[1])
+    per_row = jax.vmap(  # over batch
+        jax.vmap(  # over rows
+            lambda c, i: jax.ops.segment_sum(c, i, num_segments=nb),
+            in_axes=(0, 0),
+        ),
+        in_axes=(0, None),
+    )(cot3, idx2)  # (B, rows, nb)
+
+    def fold(z):  # (rows, nb) -> (nb,)
+        n = z.shape[0]
+        while n > 1:
+            m = n // 2
+            f = z[:m] + z[m : 2 * m]
+            if n % 2:
+                f = jnp.concatenate([f, z[2 * m :]])
+            z = f
+            n = z.shape[0]
+        return z[0]
+
+    return jax.vmap(fold)(per_row)
+
+
 def _scatter_impl(cot, idx, nb):
     """Per-bin segment sums: cot (B, *idx.shape) -> (B, nb)."""
+    from .. import config as _config
+
     nbatch = cot.shape[0]
+    if _config.get("deterministic_reductions"):
+        return _deterministic_scatter(cot, idx, nb)
     if not ((_on_tpu() or _INTERPRET) and nb <= SCATTER_MAX_BINS):
         seg = jax.vmap(
             lambda c: jax.ops.segment_sum(c, idx.reshape(-1), num_segments=nb)
@@ -420,7 +457,15 @@ def distribute_power(table, idx):
     on CPU (plain gather) and picks the Pallas kernel on TPU only when the
     table is small enough for the select loop to win.
     """
+    from .. import config as _config
+
     idx = np.asarray(idx) if not isinstance(idx, jax.Array) else idx
-    if table.ndim == 1 and _use_pallas(table.shape[0]):
+    if table.ndim == 1 and (
+        _use_pallas(table.shape[0])
+        # Deterministic mode: the primitive's transpose routes through the
+        # fixed-association scatter for *any* table size (the XLA
+        # fallback's autodiff scatter-add is mesh-dependent).
+        or _config.get("deterministic_reductions")
+    ):
         return bin_gather(table, idx)
     return table[idx]

