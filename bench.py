@@ -45,14 +45,22 @@ DIMS = (128, 128)
 N_SAMPLES = 4  # antithetic pairs -> 8 posterior samples
 N_ITERS_TIMED = 3
 
+# North-star config (BASELINE.json): geoVI on a 4096^2 correlated field
+# with 4 antithetic pairs on one chip.  Runs via the memory-bounded
+# scan-over-samples path (residual_map="smap", kl_map="smap"); the power
+# spectrum is log-binned (classic PowerSpace semantics, n_bins=128).
+NS_DIMS = (4096, 4096)
+NS_BINS = 128
 
-def _build(jft_mod, dims, seed=0, noise_std=0.1):
+
+def _build(jft_mod, dims, seed=0, noise_std=0.1, n_bins=None):
     cfm = jft_mod.CorrelatedFieldMaker("cf")
     cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+    kw = {} if n_bins is None else dict(n_bins=n_bins)
     cfm.add_fluctuations(
         dims, distances=1.0 / dims[0], fluctuations=(1.0, 5e-1),
         loglogavgslope=(-3.0, 2e-1), flexibility=(1e0, 5e-1),
-        asperity=(5e-1, 5e-2),
+        asperity=(5e-1, 5e-2), **kw,
     )
     cf = cfm.finalize()
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
@@ -155,6 +163,32 @@ def _measure_reference():
     print(json.dumps(out))
 
 
+def bench_north_star():
+    """geoVI at 4096^2, 4 antithetic pairs, memory-bounded smap path."""
+    import nifty_tpu as jft
+    import logging
+
+    jft.logger.setLevel(logging.WARNING)
+    lh, cf = _build(jft, NS_DIMS, n_bins=NS_BINS)
+    opt = jft.OptimizeVI(
+        lh, n_total_iterations=10, residual_map="smap", kl_map="smap"
+    )
+    key = jax.random.PRNGKey(7)
+    state = opt.init_state(key, **_KWARGS)
+    samples = jft.Samples(
+        pos=jft.random_like(jax.random.PRNGKey(1), lh.domain),
+        samples=None, keys=None,
+    )
+    for _ in range(2):  # warm-up: empty-sample + steady-state programs
+        samples, state = opt.update(samples, state)
+        jax.block_until_ready((samples, state))
+    t0 = time.perf_counter()
+    samples, state = opt.update(samples, state)
+    jax.block_until_ready((samples, state))
+    dt = time.perf_counter() - t0
+    return (2 * N_SAMPLES) / dt, float(state.minimization_state.fun)
+
+
 def main():
     if "--measure-reference" in sys.argv:
         _measure_reference()
@@ -167,11 +201,21 @@ def main():
     except Exception:
         baseline = None
     vs = (sps / baseline) if baseline else 1.0
+    extra = {}
+    if "--skip-north-star" not in sys.argv:
+        try:
+            ns_sps, ns_energy = bench_north_star()
+            extra["geovi_samples_per_s_4096x4096_cf"] = round(ns_sps, 4)
+            extra["geovi_4096_energy"] = round(ns_energy, 1)
+        except Exception as e:
+            extra["geovi_samples_per_s_4096x4096_cf"] = None
+            extra["north_star_error"] = repr(e)[:160]
     print(json.dumps({
         "metric": "geovi_samples_per_s_128x128_cf",
         "value": round(sps, 4),
         "unit": "samples/s/chip",
         "vs_baseline": round(vs, 4),
+        **extra,
     }))
 
 

@@ -315,3 +315,53 @@ def test_field_sharded_geovi_update_statistically_consistent(rng):
     e_si = float(st_si.minimization_state.fun)
     assert abs(e_sh - e_si) / abs(e_si) < 1e-3
     assert _max_leaf_err(s_sh.samples, s_si.samples) < 0.3
+
+
+@pytest.fixture
+def deterministic_mode():
+    jft.config.update("deterministic_reductions", True)
+    yield
+    jft.config.update("deterministic_reductions", False)
+
+
+def test_deterministic_mode_linear_update_bitwise(rng, deterministic_mode):
+    """With `deterministic_reductions` every stage of the linear VI path —
+    forward, energy, metric matvec, CG draw, and the full fused update —
+    is BITWISE identical between a 2×4 samples×field mesh and a single
+    device: fixed fold-halving reductions, the self-adjoint Hartley
+    (transpose == forward program), the deterministic scatter adjoint,
+    and the zero-mode folded into the replicated amplitude table leave no
+    mesh-dependent association anywhere.  This is strictly stronger than
+    the reference's 1-rank ≡ N-rank MPI invariant (which never shards a
+    field)."""
+    data = rng.normal(size=(64, 64))
+    s_sh, st_sh = _field_sharded_vi_run(
+        data, make_mesh(samples=2, field=4), "linear_resample", 0
+    )
+    s_si, st_si = _field_sharded_vi_run(
+        data, make_mesh(samples=1, field=1), "linear_resample", 0
+    )
+    assert _max_leaf_err(s_sh.samples, s_si.samples) == 0.0
+    assert float(st_sh.minimization_state.fun) == float(
+        st_si.minimization_state.fun
+    )
+
+
+def test_deterministic_mode_geovi_update_tight(rng, deterministic_mode):
+    """geoVI cross-mesh divergence under deterministic mode.  The linear
+    stage is bitwise (test above); the nonlinear update's inner Newton-CG
+    still crosses data-dependent branch points whose inputs XLA may
+    reshard mid-program, so the bound is tight-statistical, not bitwise:
+    measured 1.5e-2 samples / 8.9e-6 energy (was 0.11 / 2.4e-4 without
+    deterministic mode)."""
+    data = rng.normal(size=(64, 64))
+    s_sh, st_sh = _field_sharded_vi_run(
+        data, make_mesh(samples=2, field=4), "nonlinear_resample", 10
+    )
+    s_si, st_si = _field_sharded_vi_run(
+        data, make_mesh(samples=1, field=1), "nonlinear_resample", 10
+    )
+    e_sh = float(st_sh.minimization_state.fun)
+    e_si = float(st_si.minimization_state.fun)
+    assert abs(e_sh - e_si) / abs(e_si) < 1e-4
+    assert _max_leaf_err(s_sh.samples, s_si.samples) < 0.05
