@@ -54,6 +54,7 @@ def amortized(fn, x, n_inner=10, n_outer=3):
 
 
 def build(dims, n_bins=None, seed=0, noise_std=0.1):
+    import jax as _jax
     cfm = jft.CorrelatedFieldMaker("cf")
     cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
     kw = {} if n_bins is None else dict(n_bins=n_bins)
@@ -64,7 +65,9 @@ def build(dims, n_bins=None, seed=0, noise_std=0.1):
     )
     cf = cfm.finalize()
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-    truth = cf(cf.init(k1))
+    # jit the synthetic-data pass: eager op-by-op dispatch over the
+    # tunneled runtime takes minutes at 4096^2.
+    truth = _jax.jit(lambda k: cf(cf.init(k)))(k1)
     data = truth + noise_std * jax.random.normal(k2, truth.shape)
     lh = jft.Gaussian(data, noise_cov_inv=lambda x: x / noise_std**2).amend(cf)
     return lh, cf

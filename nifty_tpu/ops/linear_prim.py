@@ -105,6 +105,18 @@ ad.deflinear2(
 def _self_adjoint_batcher(args, dims, *, fn):
     (x,), (d,) = args, dims
     x = jnp.moveaxis(x, d, 0)
+    from .. import config as _config
+
+    if _config.get("deterministic_reductions"):
+        # Unrolled batch: batched FFT kernels produce batch-size-dependent
+        # low-order bits, and the per-device batch size changes with the
+        # sample-axis sharding — per-element calls keep every sample's
+        # arithmetic identical across meshes (bitwise mode beats batch
+        # fusion here by design).
+        out = jnp.stack(
+            [self_adjoint_p.bind(x[i], fn=fn) for i in range(x.shape[0])]
+        )
+        return out, 0
     return self_adjoint_p.bind(x, fn=fn), 0
 
 

@@ -318,14 +318,36 @@ class OptimizeVI:
     ever sees array arguments.
     """
 
+    #: Latent sizes at/above which ``"auto"`` maps switch from ``vmap`` to
+    #: the scan-over-samples ``smap``.  Measured at 4096² (16.8M dof, TPU
+    #: v5e): vmap runs all samples' solvers in costly lockstep (96 s/iter)
+    #: and risks HBM exhaustion, while smap does 9 s/iter — smap is both
+    #: the memory knob *and* faster once per-sample solves dominate.
+    AUTO_SMAP_MIN_SIZE = 2**22
+
     def __init__(
         self, likelihood: Likelihood, n_total_iterations: int, *,
-        kl_jit=True, residual_jit=True, kl_map=jax.vmap,
-        residual_map="vmap", kl_reduce=_reduce, mirror_samples=True,
+        kl_jit=True, residual_jit=True, kl_map="auto",
+        residual_map="auto", kl_reduce=_reduce, mirror_samples=True,
         _get_status_message: Optional[Callable] = None,
     ):
         if mirror_samples is False:
             raise NotImplementedError("non-antithetic sampling not supported")
+
+        from .tree import size as _tree_size
+
+        if isinstance(kl_map, str) and kl_map == "auto":
+            kl_map = (
+                "smap"
+                if _tree_size(likelihood.domain) >= self.AUTO_SMAP_MIN_SIZE
+                else jax.vmap
+            )
+        if isinstance(residual_map, str) and residual_map == "auto":
+            residual_map = (
+                "smap"
+                if _tree_size(likelihood.domain) >= self.AUTO_SMAP_MIN_SIZE
+                else "vmap"
+            )
 
         self.likelihood = likelihood
         self.n_total_iterations = n_total_iterations
@@ -664,8 +686,8 @@ def optimize_kl(
     likelihood: Likelihood, position_or_samples, *, key,
     n_total_iterations: int, n_samples,
     point_estimates=(), constants=(),
-    kl_jit=True, residual_jit=True, kl_map=jax.vmap,
-    residual_map="vmap",
+    kl_jit=True, residual_jit=True, kl_map="auto",
+    residual_map="auto",
     kl_reduce=_reduce,
     mirror_samples=True,
     draw_linear_kwargs=dict(cg_name=None, cg_kwargs=dict()),

@@ -341,3 +341,51 @@ class TestOnTheFlySHT:
             (ct,) = jax.linear_transpose(lin, alm)(v)
             cts.append(ct)
         np.testing.assert_allclose(cts[1], cts[0], rtol=1e-12)
+
+
+# -- DOF-space semantics (reference src/domains/dof_space.py:23,
+#    src/operators/distributors.py:28 DOFDistributor) ----------------------
+#
+# The classic DOFSpace is the weighted space of power-spectrum DOFs; its
+# role here is carried by the PowerSpace pindex + mode multiplicity and
+# the distributor primitive.  These tests pin the DOF contract directly.
+
+
+def test_dof_distributor_contract():
+    """distribute(table)[i] = table[pindex[i]] and the adjoint of ones
+    returns the bin multiplicity — the DOFDistributor/weighted-DOFSpace
+    identity (adjoint-applied volume = dvol of the DOF space)."""
+    from nifty_tpu.domains import PowerSpace, RGSpace
+    from nifty_tpu.ops.pallas_gather import bin_gather, bin_scatter_p
+
+    h = RGSpace((16, 16), distances=1.0 / 16, harmonic=True)
+    p = PowerSpace(h)
+    pindex = jnp.asarray(p.pindex)
+    nb = p.k_lengths.size
+    table = jnp.asarray(np.arange(1.0, nb + 1.0))
+    got = bin_gather(table, pindex)
+    np.testing.assert_allclose(got, table[pindex])
+    mult = bin_scatter_p.bind(
+        jnp.ones((1,) + pindex.shape), pindex, nb=nb
+    )[0]
+    # multiplicity == dvol of the DOF space == bincount of pindex
+    np.testing.assert_allclose(
+        mult, np.bincount(np.asarray(pindex).ravel(), minlength=nb)
+    )
+
+
+def test_power_analyze_roundtrip_dof_weighting():
+    """power_analyze of a field synthesized from a known spectrum recovers
+    it: the DOF-weighted average over each bin of |f_k|^2 (multiplicity
+    weighting is exactly the classic DOFSpace volume factor)."""
+    from nifty_tpu.domains import PowerSpace, RGSpace
+    from nifty_tpu.domains import DomainTuple
+    from nifty_tpu.field import Field, power_analyze
+
+    h = RGSpace((32, 32), distances=1.0 / 32, harmonic=True)
+    p = PowerSpace(h)
+    spec = 1.0 / (1.0 + np.asarray(p.k_lengths)) ** 2
+    fh = jnp.asarray(spec[np.asarray(p.pindex)])  # |f_k| = sqrt(P) exactly
+    f = Field(DomainTuple.make(h), jnp.sqrt(fh))
+    got = power_analyze(f)
+    np.testing.assert_allclose(np.asarray(got.val), spec, rtol=1e-6)
