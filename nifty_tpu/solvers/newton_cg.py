@@ -125,14 +125,16 @@ def _newton_cg(
     # accepted when it does not increase the energy by more than
     # `ls_margin * |energy|`.  A strict `>` comparison is a knife edge near
     # convergence (trial and current energies agree to rounding) where
-    # run-to-run float-reduction noise (e.g. different mesh shardings)
-    # flips the branch and chaotically perturbs the iterate by the step
-    # scale; the margin makes near-tie comparisons deterministically
-    # accept, bounding cross-mesh divergence to the smooth noise level.
+    # run-to-run float noise — different mesh shardings, different fusion
+    # of the same math (fused vs staged programs) — flips the branch and
+    # chaotically perturbs the iterate by the step scale; the margin makes
+    # near-tie comparisons deterministically accept.  The margin must
+    # exceed the energy's evaluation noise: measured ~1e-11 relative for
+    # f64 (reassociation over ~1e4-dof reductions) and ~1e-5 for f32, so
+    # the defaults sit ~20-100x above that per dtype.
     if ls_margin is None:
-        ls_margin = 1e4 * float(
-            jnp.finfo(jnp.asarray(energy0).dtype).eps
-        )
+        eps = float(jnp.finfo(jnp.asarray(energy0).dtype).eps)
+        ls_margin = (1e6 if eps < 1e-12 else 1e4) * eps
     old_fval0 = jnp.asarray(
         jnp.inf if old_fval is None else old_fval, dtype=jnp.asarray(energy0).dtype
     )
