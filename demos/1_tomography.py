@@ -95,7 +95,9 @@ def main_at_scale(dims=(256, 256, 256), n_rays=1024, n_iters=3):
         lambda x: los(jnp.exp(cf(x))), domain=cf.domain, init=cf.init
     )
     key, sk = jax.random.split(key)
-    truth = fwd(fwd.init(sk))
+    # jit the synthetic-data pass: eager op-by-op dispatch at 256^3 over
+    # the tunneled runtime takes an hour instead of seconds.
+    truth = jax.jit(lambda k: fwd(fwd.init(k)))(sk)
     noise_std = 0.05 * float(jnp.mean(jnp.abs(truth)))
     key, sk = jax.random.split(key)
     data = truth + noise_std * jax.random.normal(sk, truth.shape)
