@@ -38,15 +38,27 @@ cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
 cfm.add_fluctuations(dims, distances=1.0/dims[0], fluctuations=(1.0, 5e-1),
     loglogavgslope=(-3.0, 2e-1), flexibility=(1e0, 5e-1), asperity=(5e-1, 5e-2))
 cf = cfm.finalize()
-# identical f64 data on both platforms (host-generated)
+# identical f64 data on both platforms: the truth latents MUST be
+# host-generated (jax.random.normal consumes keys differently per dtype,
+# so device-side random_like would give each platform a different truth)
 rng = np.random.default_rng(11)
-truth_pos = jft.random_like(jax.random.PRNGKey(5), cf.domain)
+truth_pos = jax.tree_util.tree_map(
+    lambda s: jnp.asarray(rng.standard_normal(s.shape)),
+    cf.domain,
+    is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"),
+)
 truth = np.asarray(jax.jit(cf)(truth_pos), dtype=np.float64)
 data = jnp.asarray(truth + 0.1 * rng.standard_normal(dims))
 lh = jft.Gaussian(data, noise_cov_inv=lambda x: x / 0.01).amend(cf)
 
 samples, state = jft.optimize_kl(
-    lh, jft.random_like(jax.random.PRNGKey(1), lh.domain),
+    lh,
+    jax.tree_util.tree_map(  # same start on both platforms (host RNG)
+        lambda s: jnp.asarray(np.random.default_rng(17).standard_normal(s.shape)
+                              * 0.1),
+        lh.domain,
+        is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"),
+    ),
     key=jax.random.PRNGKey(7), n_total_iterations=6, n_samples=4,
     draw_linear_kwargs=dict(cg_kwargs=dict(maxiter=80)),
     nonlinearly_update_kwargs=dict(minimize_kwargs=dict(

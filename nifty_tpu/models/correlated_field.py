@@ -413,7 +413,19 @@ class CorrelatedFieldMaker:
         )
         self._fluctuations.append(npa)
         self._target_grids.append(grid)
-        self._parameter_tree.update(npa.domain)
+        self._update_parameter_tree(npa.domain)
+
+    def _update_parameter_tree(self, dom):
+        # The reference silently overwrites colliding latent keys when two
+        # subgrids share a prefix, producing shape errors only much later
+        # at apply time.  Fail fast instead with an actionable message.
+        clash = set(dom) & set(self._parameter_tree)
+        if clash:
+            raise ValueError(
+                f"latent parameter keys {sorted(clash)} already exist; "
+                "pass a distinct `prefix=` to each add_fluctuations* call"
+            )
+        self._parameter_tree.update(dom)
 
     def add_fluctuations_matern(
         self,
@@ -444,7 +456,7 @@ class CorrelatedFieldMaker:
         )
         self._fluctuations.append(ma)
         self._target_grids.append(grid)
-        self._parameter_tree.update(ma.domain)
+        self._update_parameter_tree(ma.domain)
 
     def set_amplitude_total_offset(self, offset_mean, offset_std):
         """Set the global offset mean and the zero-mode std prior."""
