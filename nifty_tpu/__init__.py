@@ -10,6 +10,7 @@ solvers, sample- and field-axis sharding, psum reductions over ICI.
 from . import config
 from . import domains, num
 from .domains import (
+    DOFSpace,
     DomainTuple,
     Domain,
     GLSpace,
@@ -22,6 +23,7 @@ from .domains import (
 from .field import (
     Field,
     create_power_operator,
+    dof_distributor,
     from_random,
     full,
     makeField,

@@ -85,6 +85,28 @@ class UnstructuredDomain(Domain):
         return 1.0
 
 
+class DOFSpace(Domain):
+    """Space of generic degrees of freedom with per-DOF multiplicities.
+
+    The domain of a :func:`nifty_tpu.field.dof_distributor`: entry ``i``
+    carries the total volume of all target pixels mapped onto DOF ``i``.
+    Parity: ``src/domains/dof_space.py:23``.
+    """
+
+    def __init__(self, dof_weights):
+        w = np.asarray(dof_weights, dtype=np.float64)
+        if w.ndim != 1 or w.size == 0:
+            raise ValueError("dof_weights must be a non-empty 1-D sequence")
+        self._weights = tuple(w.tolist())
+        self._shape = (w.size,)
+
+    def _dvol_array(self):
+        return np.asarray(self._weights)
+
+    def _key(self):
+        return self._weights
+
+
 class RGSpace(Domain):
     """Regular Cartesian grid, position-space or harmonic.
 

@@ -20,7 +20,7 @@ import numpy as np
 from jax import numpy as jnp
 from jax.tree_util import register_pytree_node_class
 
-from .domains import DomainTuple, PowerSpace, RGSpace
+from .domains import DOFSpace, DomainTuple, PowerSpace, RGSpace
 from .tree import random_like
 
 
@@ -210,6 +210,47 @@ def power_analyze(field: Field, binbounds=None) -> Field:
     )
     counts = jnp.asarray(pspace.dvol)
     return Field(DomainTuple.make(pspace), power / counts)
+
+
+def dof_distributor(dofdex, partner=None):
+    """Linear map distributing degrees of freedom onto a target grid.
+
+    ``dofdex`` is a static integer array associating every pixel of the
+    target with one underlying DOF (bins must be contiguous from 0 with no
+    empty bins).  Returns ``(times, dof_space)``: ``times`` maps a 1-D DOF
+    vector to the target grid via the framework's bin-gather primitive, so
+    its transpose under ``jax.linear_transpose`` is the exact per-DOF
+    segment sum (the reference's ``adjoint_times``) and both directions run
+    the Pallas TPU kernels for small tables.
+
+    Parity: ``src/operators/distributors.py:28`` (``DOFDistributor``) +
+    ``src/domains/dof_space.py:23``; the distribution scheme is identical,
+    but where the reference builds an operator object pair this is a plain
+    linear closure whose adjoint is derived by the AD system.
+    """
+    from .ops.pallas_gather import distribute_power
+
+    idx = np.asarray(dofdex)
+    if not np.issubdtype(idx.dtype, np.integer):
+        raise TypeError("dofdex must contain integer numbers")
+    nbin = int(idx.max()) + 1 if idx.size else 0
+    if partner is not None and partner.scalar_dvol is None:
+        wgt = np.bincount(
+            idx.ravel(), minlength=nbin,
+            weights=np.asarray(partner.dvol).ravel(),
+        )
+    else:
+        wgt = np.bincount(idx.ravel(), minlength=nbin).astype(np.float64)
+        if partner is not None:
+            wgt = wgt * partner.scalar_dvol
+    if (wgt == 0).any():
+        raise ValueError("empty bins detected")
+    dof_space = DOFSpace(wgt)
+
+    def times(x):
+        return distribute_power(x, idx)
+
+    return times, dof_space
 
 
 def create_power_operator(harmonic_domain: RGSpace, power_spectrum):

@@ -268,6 +268,16 @@ def _build_power_distributor(dtype):
     return f, _swd((n_modes,), dtype)
 
 
+def _build_dof_distributor(dtype):
+    from nifty_tpu.field import dof_distributor
+
+    rng = np.random.default_rng(3)
+    dofdex = rng.integers(0, 7, size=(9, 5))
+    dofdex.ravel()[:7] = np.arange(7)
+    times, dspace = dof_distributor(dofdex)
+    return times, _swd(dspace.shape, dtype)
+
+
 F_ALL = [np.float32, np.float64]
 C_ALL = [np.complex64, np.complex128]
 
@@ -286,6 +296,7 @@ _LINEAR_MATRIX = {
     "distributed_hartley": (_build_distributed_hartley, [np.float64]),
     "distributed_fftn": (_build_distributed_fftn, [np.complex128]),
     "power_distributor": (_build_power_distributor, F_ALL + C_ALL),
+    "dof_distributor": (_build_dof_distributor, F_ALL),
 }
 
 _MATRIX_CASES = [

@@ -374,6 +374,62 @@ def test_dof_distributor_contract():
     )
 
 
+def test_dof_space_and_distributor():
+    """First-class DOFSpace + dof_distributor: shape/dvol semantics, the
+    times/adjoint pair vs a dense matrix, volume-weighted DOF weights on a
+    non-uniform partner, and the empty-bin guard.
+
+    Parity: ``src/domains/dof_space.py:23`` +
+    ``src/operators/distributors.py:28``."""
+    import jax
+    from nifty_tpu import DOFSpace, dof_distributor
+    from nifty_tpu.domains import PowerSpace, RGSpace
+
+    rng = np.random.default_rng(42)
+    dofdex = rng.integers(0, 5, size=(6, 7))
+    # ensure every bin occupied
+    dofdex.ravel()[:5] = np.arange(5)
+    times, dspace = dof_distributor(dofdex)
+
+    assert isinstance(dspace, DOFSpace)
+    assert dspace.shape == (5,)
+    np.testing.assert_allclose(
+        dspace.dvol, np.bincount(dofdex.ravel(), minlength=5)
+    )
+    assert dspace.total_volume == dofdex.size
+    assert dspace == DOFSpace(np.bincount(dofdex.ravel()))
+    assert dspace != DOFSpace([1.0, 2.0])
+
+    x = jnp.asarray(rng.normal(size=5))
+    np.testing.assert_allclose(times(x), x[dofdex])
+    # adjoint == dense-matrix transpose
+    dense = np.zeros((dofdex.size, 5))
+    dense[np.arange(dofdex.size), dofdex.ravel()] = 1.0
+    y = rng.normal(size=dofdex.shape)
+    (adj,) = jax.linear_transpose(times, x)(jnp.asarray(y))
+    np.testing.assert_allclose(adj, dense.T @ y.ravel(), rtol=1e-12)
+
+    # volume weighting on a partner with non-scalar dvol: group the bins
+    # of a PowerSpace (whose dvol is the per-bin multiplicity) pairwise —
+    # the DOF weights must be the volume-weighted bincount.
+    h = RGSpace((8, 8), distances=1.0 / 8, harmonic=True)
+    p = PowerSpace(h)
+    groups = np.arange(p.shape[0]) // 2
+    _, dsp = dof_distributor(groups, partner=p)
+    np.testing.assert_allclose(
+        dsp.dvol,
+        np.bincount(groups, weights=np.asarray(p.dvol)),
+    )
+    # scalar-dvol partner scales the multiplicity by the pixel volume
+    _, dsh = dof_distributor(np.zeros(h.shape, dtype=np.int64), partner=h)
+    np.testing.assert_allclose(dsh.dvol, [h.size * h.scalar_dvol])
+
+    with np.testing.assert_raises(ValueError):
+        dof_distributor(np.array([0, 0, 2]))  # bin 1 empty
+    with np.testing.assert_raises(TypeError):
+        dof_distributor(np.array([0.0, 1.0]))
+
+
 def test_power_analyze_roundtrip_dof_weighting():
     """power_analyze of a field synthesized from a known spectrum recovers
     it: the DOF-weighted average over each bin of |f_k|^2 (multiplicity
