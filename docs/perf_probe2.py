@@ -162,11 +162,11 @@ def decompose(dims, n_bins):
 
 
 def fused_timed(dims, n_bins, n_samples, residual_map, kl_map, label,
-                n_warm=2, n_timed=1):
+                n_warm=2, n_timed=1, fused=True):
     rec = {
         "probe": "fused", "dims": dims, "n_bins": n_bins,
         "n_samples": n_samples, "residual_map": residual_map,
-        "kl_map": kl_map, "label": label,
+        "kl_map": kl_map, "label": label, "fused": fused,
     }
     try:
         lh, cf = build(dims, n_bins)
@@ -191,13 +191,13 @@ def fused_timed(dims, n_bins, n_samples, residual_map, kl_map, label,
         )
         t_first = time.perf_counter()
         for i in range(n_warm):
-            samples, state = opt.update(samples, state)
+            samples, state = opt.update(samples, state, fused=fused)
             jax.block_until_ready((samples, state))
             rec[f"warm{i}_s"] = time.perf_counter() - t_first
             t_first = time.perf_counter()
         t0 = time.perf_counter()
         for _ in range(n_timed):
-            samples, state = opt.update(samples, state)
+            samples, state = opt.update(samples, state, fused=fused)
         jax.block_until_ready((samples, state))
         rec["iter_s"] = (time.perf_counter() - t0) / n_timed
         rec["samples_per_s"] = 2 * n_samples / rec["iter_s"]

@@ -16,6 +16,10 @@ elif label == "unbinned":
     rec = p2.fused_timed((4096, 4096), None, 4, "smap", "smap",
                          "4096x4096 unbinned smap v2-kernels",
                          n_warm=1, n_timed=1)
+elif label == "unbinned_staged":
+    rec = p2.fused_timed((4096, 4096), None, 4, "smap", "smap",
+                         "4096x4096 unbinned smap staged (fused=False)",
+                         n_warm=1, n_timed=1, fused=False)
 elif label == "vmap":
     rec = p2.fused_timed((4096, 4096), 128, 4, "vmap", "vmap",
                          "4096x4096 binned vmap v2-kernels",

@@ -180,6 +180,11 @@ class NUTSChain(_Sampler):
 
     def _to_chain(self, outs) -> Chain:
         samples, div, acc, depths = outs
+        # Normalize the tree's summed Metropolis statistic by its number of
+        # proposals (2^depth - 1) so ``acceptance`` is a per-transition
+        # probability in [0, 1] (reference: ``src/re/hmc_oo.py:237-240``).
+        num_prop = 2 ** depths.astype(jnp.int32) - 1
+        acc = jnp.where(num_prop > 0, acc / jnp.maximum(num_prop, 1), 0.0)
         return Chain(
             samples=samples,
             divergences=div,

@@ -75,6 +75,12 @@ def test_chain_recovers_gaussian_moments(sampler_cls, kwargs, inv_mass):
     np.testing.assert_allclose(smpls.mean(0), np.zeros(4), atol=0.25)
     np.testing.assert_allclose(smpls.var(0), np.asarray(cov), rtol=0.25)
     assert not np.any(np.asarray(chain.divergences))
+    # acceptance is a per-transition probability (NUTS: the tree's summed
+    # Metropolis statistic normalized by its 2^depth - 1 proposals,
+    # reference src/re/hmc_oo.py:237-240) — must lie in [0, 1]
+    acc = np.asarray(chain.acceptance)
+    assert np.all(acc >= 0.0) and np.all(acc <= 1.0)
+    assert acc.mean() > 0.5  # well-tuned chain on a Gaussian
 
 
 def test_chain_tree_position(rng):
