@@ -7,8 +7,9 @@ grid vs ~0.02 ms for the FFT it feeds — the dominant cost of the CF
 forward pass; reference equivalent: the ``PowerDistributor`` matrix-free
 operator, ``src/operators/distributors.py:31``).  The Pallas kernel
 computes the same gather as a blocked compare-and-select reduction
-entirely in VMEM — O(nbins) VPU ops per element but no HBM-indirect
-addressing — with the table held in SMEM for scalar broadcast loads.
+entirely in VMEM — O(span) VPU ops per element but no HBM-indirect
+addressing — with the current batch row's table streamed through SMEM
+for scalar broadcast loads.
 
 ``bin_gather`` is registered as a custom primitive so every transform the
 framework relies on composes:
@@ -19,12 +20,16 @@ framework relies on composes:
 - **Transpose** (``jax.linear_transpose`` in the metric, VJPs): the exact
   per-bin segment sum, implemented by a Pallas scatter-accumulate kernel.
 - **Batching** (``vmap`` over posterior samples): leading batch axes of
-  ``table`` collapse onto the kernel's batch grid dimension — per-element
-  cost stays O(nbins), not O(B·nbins).
+  ``table`` collapse onto the kernel's batch grid dimension.  When
+  ``jax.linearize`` residualizes the (shared) index map per sample, the
+  *both-batched* case runs natively: ``batched_idx=True`` pairs
+  ``idx``'s leading axis with the table batch, with per-batch block
+  ranges — per-element cost stays O(span), not O(B·span), and the bin
+  axis is never widened.
 
-The select loop costs O(nbins) per element, so the kernel is gated on
-:data:`SMALL_TABLE_MAX_BINS`; above it (e.g. the 83k unique modes of a
-1024² grid) XLA's gather wins and is used instead.  Off-TPU the
+The select loop costs O(block span) per element, so the kernel is gated
+on :data:`SMALL_TABLE_MAX_BINS`; above it (e.g. the 83k unique modes of
+a 1024² grid) XLA's gather wins and is used instead.  Off-TPU the
 primitive lowers to the plain XLA gather/segment-sum.
 """
 
@@ -52,8 +57,18 @@ _INTERPRET = os.environ.get("NIFTY_TPU_PALLAS_INTERPRET", "0") == "1"
 #: Both kernels loop only over each block's *static* [min, max] bin range
 #: (for log-binned power spectra most blocks span a handful of bins), so
 #: per-element cost is O(bins-present-in-block), not O(nbins).
+#:
+#: Mid-size tables (1024 < nb <= 4096) take the kernel path only when the
+#: batch is a single row: the unbinned 128^2 CF's 3238-mode table measured
+#: 1.65x faster through the kernels unbatched (value_and_grad 0.278 ms ->
+#: 0.154 ms, `docs/perf_probe9.json`), but the select loop pays
+#: O(batch * span) under vmap where XLA's batched gather wins (the full
+#: fused 128^2 update regressed 53 -> 36 samples/s with the wide path
+#: enabled for batches).  Wide-span tables above ~4k modes (256^2
+#: unbinned and up) always lower to XLA.
 SMALL_TABLE_MAX_BINS = 1024
 SCATTER_MAX_BINS = 1024
+WIDE_TABLE_MAX_BINS = 4096
 
 
 def _pad_to(x, mult, axis=0, value=0):
@@ -67,29 +82,41 @@ def _pad_to(x, mult, axis=0, value=0):
 
 
 # -- kernels -------------------------------------------------------------
+#
+# Grid is (B, I): batch rows outer, index blocks inner.  The table block
+# streams ONE batch row (1, npad) through SMEM per grid step, so SMEM use
+# is independent of the batch count; with ``shared=False`` the index map
+# (and its static block ranges) carries its own leading batch axis.
 
-def _gather_kernel(lo_ref, hi_ref, idx_ref, table_ref, out_ref):
+
+def _make_gather_kernel(shared: bool, tb_rows: int):
     from jax import lax
     from jax.experimental import pallas as pl
 
-    ids = idx_ref[:]  # (BR, 128) int32
-    bidx = pl.program_id(0)  # table lives whole in SMEM; index the batch row
-    i = pl.program_id(1)  # ranges live whole in SMEM; index the block row
+    def kernel(lo_ref, hi_ref, idx_ref, table_ref, out_ref):
+        i = pl.program_id(1)
+        bsel = 0 if shared else pl.program_id(0)
+        # the table streams through SMEM in tiles of ``tb_rows`` batch
+        # rows (Mosaic's sublane granularity); select this step's row
+        row = (
+            lax.rem(pl.program_id(0), jnp.int32(tb_rows))
+            if tb_rows > 1 else 0
+        )
+        ids = idx_ref[0]  # (BR, 128) int32
 
-    # Mosaic-safe select-accumulate: loop over the *static bin range of
-    # this block* (log-binned index maps are locally narrow) with scalar
-    # loads and 2-D vector compare/select only.
-    def body(b, acc):
-        val = table_ref[bidx, b]
-        return acc + jnp.where(ids == b, val, 0.0)
+        def body(b, acc):
+            val = table_ref[row, b]
+            return acc + jnp.where(ids == b, val, 0.0)
 
-    out_ref[0] = lax.fori_loop(
-        lo_ref[i], hi_ref[i] + 1, body,
-        jnp.zeros(ids.shape, dtype=out_ref.dtype),
-    )
+        out_ref[0] = lax.fori_loop(
+            lo_ref[bsel, i], hi_ref[bsel, i] + 1, body,
+            jnp.zeros(ids.shape, dtype=out_ref.dtype),
+        )
+
+    return kernel
 
 
-def _scatter_kernel(lo_ref, hi_ref, idx_ref, cot_ref, out_ref, acc_ref):
+def _make_scatter_kernel(shared: bool):
     """Per-bin segment sums with deferred cross-lane reduction.
 
     Per block and bin only a sublane partial-sum lands in a VMEM
@@ -101,69 +128,89 @@ def _scatter_kernel(lo_ref, hi_ref, idx_ref, cot_ref, out_ref, acc_ref):
     from jax import lax
     from jax.experimental import pallas as pl
 
-    ids = idx_ref[:]  # (BR, 128)
-    cot = cot_ref[0]  # (BR, 128)
-    i = pl.program_id(1)
-    n_i = pl.num_programs(1)
+    def kernel(lo_ref, hi_ref, idx_ref, cot_ref, out_ref, acc_ref):
+        i = pl.program_id(1)
+        n_i = pl.num_programs(1)
+        bsel = 0 if shared else pl.program_id(0)
+        ids = idx_ref[0]  # (BR, 128)
+        cot = cot_ref[0]  # (BR, 128)
 
-    @pl.when(i == 0)
-    def _zero():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        @pl.when(i == 0)
+        def _zero():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def body(b, _):
-        part = jnp.sum(
-            jnp.where(ids == b, cot, 0.0), axis=0, keepdims=True
-        )  # (1, 128) lane partials
-        acc_ref[pl.dslice(b, 1), :] = acc_ref[pl.dslice(b, 1), :] + part
-        return 0
+        def body(b, _):
+            part = jnp.sum(
+                jnp.where(ids == b, cot, 0.0), axis=0, keepdims=True
+            )  # (1, 128) lane partials
+            acc_ref[pl.dslice(b, 1), :] = acc_ref[pl.dslice(b, 1), :] + part
+            return 0
 
-    lax.fori_loop(lo_ref[i], hi_ref[i] + 1, body, 0)
+        lax.fori_loop(lo_ref[bsel, i], hi_ref[bsel, i] + 1, body, 0)
 
-    @pl.when(i == n_i - 1)
-    def _finalize():
-        out_ref[0] = jnp.sum(acc_ref[...], axis=1, keepdims=True)
+        @pl.when(i == n_i - 1)
+        def _finalize():
+            out_ref[0] = jnp.sum(acc_ref[...], axis=1, keepdims=True)
+
+    return kernel
 
 
-def _block_ranges(idx2):
-    """Per-(BR,128)-block [min, max] of the index map.
+def _block_ranges(idx3):
+    """Per-(BR,128)-block [min, max] of the (B_i, rows, 128) index map.
 
     The index map is a static model constant, so XLA folds these
     reductions at compile time — the kernel's bin loops become
     effectively-static narrow ranges at zero runtime cost.
     """
-    blocks = idx2.reshape(-1, _BLOCK_ROWS * 128)
-    lo = jnp.min(blocks, axis=1).astype(jnp.int32)
-    hi = jnp.max(blocks, axis=1).astype(jnp.int32)
-    return lo, hi
+    b_i = idx3.shape[0]
+    blocks = idx3.reshape(b_i, -1, _BLOCK_ROWS * 128)
+    lo = jnp.min(blocks, axis=2).astype(jnp.int32)
+    hi = jnp.max(blocks, axis=2).astype(jnp.int32)
+    return lo, hi  # (B_i, I)
 
 
-def _pallas_gather(table2, idx_flat_pad):
-    """table2 (B, nb) × flat padded idx -> (B, n) gathered values."""
+def _norm_idx(idx, batched_idx, block):
+    """Flatten/pad idx to (B_i, rows, 128) with B_i = 1 (shared) or B."""
+    b_i = idx.shape[0] if batched_idx else 1
+    flat = idx.reshape(b_i, -1).astype(jnp.int32)
+    n = flat.shape[1]
+    if n % block != 0:
+        flat = _pad_to(flat, block, axis=1)
+    return flat.reshape(b_i, -1, 128), n
+
+
+def _pallas_gather(table2, idx3, shared: bool):
+    """table2 (B, nb) × idx3 (B_i, rows, 128) -> (B, rows*128) values."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nbatch = table2.shape[0]
-    table_pad = _pad_to(table2, 128, axis=1)
-    n = idx_flat_pad.shape[0]
-    rows = n // 128
+    # Mosaic requires SMEM block sublanes divisible by 8 (or the full
+    # array): stream the table in 8-row tiles for batched calls.
+    tb_rows = 1 if nbatch == 1 else 8
+    table_pad = _pad_to(_pad_to(table2, 128, axis=1), tb_rows, axis=0)
+    rows = idx3.shape[1]
     grid_i = rows // _BLOCK_ROWS
-    idx2 = idx_flat_pad.reshape(rows, 128)
-    lo, hi = _block_ranges(idx2)
-    # lo/hi ride as scalar-prefetch operands (full 1-D arrays in SMEM,
+    lo, hi = _block_ranges(idx3)
+    # lo/hi ride as scalar-prefetch operands (full arrays in SMEM,
     # indexed by grid position inside the kernel).
+    idx_map = (
+        (lambda b, i, lo, hi: (0, i, 0)) if shared
+        else (lambda b, i, lo, hi: (b, i, 0))
+    )
     out = pl.pallas_call(
-        _gather_kernel,
+        _make_gather_kernel(shared, tb_rows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nbatch, grid_i),
             in_specs=[
-                pl.BlockSpec((_BLOCK_ROWS, 128), lambda b, i, lo, hi: (i, 0),
+                pl.BlockSpec((1, _BLOCK_ROWS, 128), idx_map,
                              memory_space=pltpu.VMEM),
-                # the small table lives whole in SMEM (all batch rows): the
-                # kernel reads it with scalar loads inside the bin loop;
-                # Mosaic requires non-final block dims be 1 or the full dim
-                pl.BlockSpec((nbatch, table_pad.shape[1]),
-                             lambda b, i, lo, hi: (0, 0),
+                # stream one tb_rows-tile of the small table through
+                # SMEM; the kernel reads this step's row with scalar
+                # loads in the bin loop
+                pl.BlockSpec((tb_rows, table_pad.shape[1]),
+                             lambda b, i, lo, hi: (b // tb_rows, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec((1, _BLOCK_ROWS, 128),
@@ -172,29 +219,31 @@ def _pallas_gather(table2, idx_flat_pad):
         ),
         out_shape=jax.ShapeDtypeStruct((nbatch, rows, 128), table2.dtype),
         interpret=_INTERPRET,
-    )(lo, hi, idx2, table_pad)
+    )(lo, hi, idx3, table_pad)
     return out.reshape(nbatch, -1)
 
 
-def _pallas_scatter(cot2, idx_flat_pad, npad):
-    """cot2 (B, n) × flat padded idx -> (B, npad) per-bin sums."""
+def _pallas_scatter(cot2, idx3, npad, shared: bool):
+    """cot2 (B, n) × idx3 (B_i, rows, 128) -> (B, npad) per-bin sums."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nbatch = cot2.shape[0]
-    n = idx_flat_pad.shape[0]
-    rows = n // 128
+    rows = idx3.shape[1]
     grid_i = rows // _BLOCK_ROWS
-    idx2 = idx_flat_pad.reshape(rows, 128)
-    cot3 = cot2.reshape(nbatch, rows, 128)
-    lo, hi = _block_ranges(idx2)
+    cot4 = cot2.reshape(nbatch, rows, 128)
+    lo, hi = _block_ranges(idx3)
+    idx_map = (
+        (lambda b, i, lo, hi: (0, i, 0)) if shared
+        else (lambda b, i, lo, hi: (b, i, 0))
+    )
     out = pl.pallas_call(
-        _scatter_kernel,
+        _make_scatter_kernel(shared),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nbatch, grid_i),
             in_specs=[
-                pl.BlockSpec((_BLOCK_ROWS, 128), lambda b, i, lo, hi: (i, 0),
+                pl.BlockSpec((1, _BLOCK_ROWS, 128), idx_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, _BLOCK_ROWS, 128),
                              lambda b, i, lo, hi: (b, i, 0),
@@ -206,7 +255,7 @@ def _pallas_scatter(cot2, idx_flat_pad, npad):
         ),
         out_shape=jax.ShapeDtypeStruct((nbatch, npad, 1), cot2.dtype),
         interpret=_INTERPRET,
-    )(lo, hi, idx2, cot3)
+    )(lo, hi, idx3, cot4)
     return out.reshape(nbatch, npad)
 
 
@@ -219,28 +268,33 @@ def _on_tpu():
 
 # -- primitive -----------------------------------------------------------
 #
-# bin_gather_p :: table (B, nb), idx (any shape, int) -> (B, *idx.shape)
-# The wrapper presents the unbatched (nb,) -> idx.shape view; vmap over
-# table folds extra axes into B.
+# bin_gather_p :: table (B, nb), idx -> (B, *event_shape)
+# With batched_idx=False, idx has shape event_shape shared by every batch
+# row; with batched_idx=True, idx has shape (B, *event_shape) and row b
+# gathers with its own index map.  The wrapper presents the unbatched
+# (nb,) -> idx.shape view; vmap folds extra axes onto B.
 
 bin_gather_p = jax.extend.core.Primitive("bin_gather")
 
 
-def _use_pallas(nb):
-    return (_on_tpu() or _INTERPRET) and nb <= SMALL_TABLE_MAX_BINS
+def _use_pallas(nb, nbatch=1):
+    if not (_on_tpu() or _INTERPRET):
+        return False
+    cap = SMALL_TABLE_MAX_BINS if nbatch > 1 else WIDE_TABLE_MAX_BINS
+    return nb <= cap
 
 
-def _gather_impl(table, idx):
+def _gather_impl(table, idx, *, batched_idx=False):
     nbatch, nb = table.shape
-    if not _use_pallas(nb):
+    if not _use_pallas(nb, nbatch):
+        if batched_idx:
+            return jax.vmap(lambda t, i_: jnp.take(t, i_, axis=0))(table, idx)
         return jnp.take(table, idx, axis=1)
-    idx_flat = idx.reshape(-1).astype(jnp.int32)
-    n = idx_flat.shape[0]
     block = _BLOCK_ROWS * 128
-    if n % block != 0:
-        idx_flat = _pad_to(idx_flat, block, value=0)
-    out = _pallas_gather(table, idx_flat)
-    return out[:, :n].reshape((nbatch,) + idx.shape)
+    idx3, n = _norm_idx(idx, batched_idx, block)
+    out = _pallas_gather(table, idx3, shared=not batched_idx)
+    event = idx.shape[1:] if batched_idx else idx.shape
+    return out[:, :n].reshape((nbatch,) + event)
 
 
 def _deterministic_scatter(cot, idx, nb):
@@ -276,83 +330,138 @@ def _deterministic_scatter(cot, idx, nb):
     return jax.vmap(fold)(per_row)
 
 
-def _scatter_impl(cot, idx, nb):
-    """Per-bin segment sums: cot (B, *idx.shape) -> (B, nb)."""
+def _scatter_impl(cot, idx, nb, *, batched_idx=False):
+    """Per-bin segment sums: cot (B, *event) -> (B, nb)."""
     from .. import config as _config
 
     nbatch = cot.shape[0]
     if _config.get("deterministic_reductions"):
+        if batched_idx:
+            return jax.vmap(
+                lambda c, i_: _deterministic_scatter(c[None], i_, nb)[0]
+            )(cot, idx)
         return _deterministic_scatter(cot, idx, nb)
-    if not ((_on_tpu() or _INTERPRET) and nb <= SCATTER_MAX_BINS):
+    scatter_cap = SCATTER_MAX_BINS if nbatch > 1 else WIDE_TABLE_MAX_BINS
+    if not ((_on_tpu() or _INTERPRET) and nb <= scatter_cap):
+        if batched_idx:
+            return jax.vmap(
+                lambda c, i_: jax.ops.segment_sum(
+                    c.reshape(-1), i_.reshape(-1), num_segments=nb
+                )
+            )(cot, idx)
         seg = jax.vmap(
             lambda c: jax.ops.segment_sum(c, idx.reshape(-1), num_segments=nb)
         )
         return seg(cot.reshape(nbatch, -1))
     npad = int(-(-nb // 128) * 128)
-    idx_flat = idx.reshape(-1).astype(jnp.int32)
     cot_flat = cot.reshape(nbatch, -1)
-    n = idx_flat.shape[0]
     block = _BLOCK_ROWS * 128
+    n = cot_flat.shape[1]
     if n % block != 0:
         # pad cotangent with zeros and indices with an out-of-range bin
-        idx_flat = _pad_to(idx_flat, block, value=npad - 1)
         cot_flat = _pad_to(cot_flat, block, axis=1, value=0)
-    out = _pallas_scatter(cot_flat, idx_flat, npad)
+    b_i = idx.shape[0] if batched_idx else 1
+    idx_flat = idx.reshape(b_i, -1).astype(jnp.int32)
+    if idx_flat.shape[1] % block != 0:
+        idx_flat = _pad_to(idx_flat, block, axis=1, value=npad - 1)
+    idx3 = idx_flat.reshape(b_i, -1, 128)
+    out = _pallas_scatter(cot_flat, idx3, npad, shared=not batched_idx)
     return out[:, :nb]
 
 
-def _abstract_eval(table, idx):
-    return jax.core.ShapedArray((table.shape[0],) + idx.shape, table.dtype)
+def _abstract_eval(table, idx, *, batched_idx=False):
+    event = idx.shape[1:] if batched_idx else idx.shape
+    return jax.core.ShapedArray((table.shape[0],) + event, table.dtype)
 
 
-def _jvp_rule(primals, tangents):
+def _jvp_rule(primals, tangents, *, batched_idx=False):
     table, idx = primals
     t_dot, _ = tangents
-    out = bin_gather_p.bind(table, idx)
+    out = bin_gather_p.bind(table, idx, batched_idx=batched_idx)
     if isinstance(t_dot, ad.Zero):
         return out, ad.Zero(jax.core.get_aval(out).to_tangent_aval())
-    return out, bin_gather_p.bind(t_dot, idx)
+    return out, bin_gather_p.bind(t_dot, idx, batched_idx=batched_idx)
 
 
-def _transpose_rule(ct, table, idx):
+def _transpose_rule(ct, table, idx, *, batched_idx=False):
     assert ad.is_undefined_primal(table) and not ad.is_undefined_primal(idx)
     nb = table.aval.shape[1]
     if isinstance(ct, ad.Zero):
         return ad.Zero(table.aval), None
-    out = bin_scatter_p.bind(ct, idx, nb=nb)
+    out = bin_scatter_p.bind(ct, idx, nb=nb, batched_idx=batched_idx)
     return out.astype(table.aval.dtype), None
 
 
-def _batching_rule(args, dims):
+def _batching_rule(args, dims, *, batched_idx=False):
     table, idx = args
     tdim, idim = dims
     if idim is not None and tdim is not None:
         # Both batched along the same vmap axis (arises when linearize's
-        # partial-eval residualizes the index map per sample): fold the
-        # vmap axis into the bin axis and offset each batch member's
-        # indices into its own table slice — one unbatched bind with
-        # exact per-batch semantics.
+        # partial-eval residualizes the index map per sample).
         table = jnp.moveaxis(table, tdim, 0)  # (Bv, B, nb)
-        idx = jnp.moveaxis(idx, idim, 0)  # (Bv, *ish)
+        idx = jnp.moveaxis(idx, idim, 0)  # (Bv, *idx_shape)
         bv, b0, nb = table.shape
+        if b0 == 1 and not batched_idx:
+            # the common case (the wrapper always binds B=1): pair the
+            # vmap axis with the table batch natively — per-batch index
+            # maps, bin axis untouched
+            out = bin_gather_p.bind(
+                table.reshape(bv, nb), idx, batched_idx=True
+            )
+            return out[:, None], 0  # (Bv, 1, *event) — restore B axis
+        # rare nested case: fold the vmap axis into the bin axis and
+        # offset each batch member's indices into its own table slice —
+        # one unbatched bind with exact per-batch semantics (wide tables
+        # fall back to XLA inside the impl).
+        if batched_idx:
+            # idx (Bv, B, *event): fold Bv into B with offsets per Bv
+            tables = jnp.moveaxis(table, 0, 1).reshape(b0, bv * nb)
+            offs = jnp.arange(bv, dtype=idx.dtype) * nb
+            offs = offs.reshape((bv, 1) + (1,) * (idx.ndim - 2))
+            idx_off = jnp.moveaxis(idx + offs, 0, 1)  # (B, Bv, *event)
+            idx_off = idx_off.reshape((b0, bv) + idx.shape[2:])
+            out = bin_gather_p.bind(tables, idx_off, batched_idx=True)
+            return out.reshape((b0, bv) + idx.shape[2:]), 1
         tables = jnp.moveaxis(table, 0, 1).reshape(b0, bv * nb)
         offs = jnp.arange(bv, dtype=idx.dtype) * nb
         offs = offs.reshape((bv,) + (1,) * (idx.ndim - 1))
         out = bin_gather_p.bind(tables, idx + offs)  # (B, Bv, *ish)
         return out, 1
     if idim is not None:
-        # batched indices: fold the batch axis into the (arbitrary) index
-        # shape; with a shared table the semantics coincide.
         idx = jnp.moveaxis(idx, idim, 0)
+        if batched_idx:
+            # per-batch indices re-batched: idx (Bv, B, *event) — pair
+            # every (Bv, B) combination with a broadcast table row
+            bv = idx.shape[0]
+            b0, nb0 = table.shape
+            table_b = jnp.broadcast_to(table[None], (bv, b0, nb0))
+            out = bin_gather_p.bind(
+                table_b.reshape(bv * b0, nb0),
+                idx.reshape((bv * b0,) + idx.shape[2:]),
+                batched_idx=True,
+            )
+            return out.reshape((bv, b0) + idx.shape[2:]), 0
+        # batched indices with a shared table: fold the batch axis into
+        # the (arbitrary) index shape; the semantics coincide.
         out = bin_gather_p.bind(table, idx)
         return out, 1  # (B_table, B_idx, *rest) — idx batch lands at axis 1
     table = jnp.moveaxis(table, tdim, 0)
     bv, b0, nb = table.shape
+    if batched_idx:
+        # new batch axis over table only; every (bv) member shares the
+        # per-b0 index maps — tile the index maps across the new axis
+        idxb = jnp.broadcast_to(idx[None], (bv,) + idx.shape)
+        out = bin_gather_p.bind(
+            table.reshape(bv * b0, nb),
+            idxb.reshape((bv * b0,) + idx.shape[1:]),
+            batched_idx=True,
+        )
+        return out.reshape((bv, b0) + idx.shape[1:]), 0
     out = bin_gather_p.bind(table.reshape(bv * b0, nb), idx)
     return out.reshape((bv, b0) + idx.shape), 0
 
 
-bin_gather_p.def_impl(lambda table, idx: _gather_impl(table, idx))
+bin_gather_p.def_impl(_gather_impl)
 bin_gather_p.def_abstract_eval(_abstract_eval)
 ad.primitive_jvps[bin_gather_p] = _jvp_rule
 ad.primitive_transposes[bin_gather_p] = _transpose_rule
@@ -364,43 +473,61 @@ mlir.register_lowering(
 
 # -- scatter primitive (the gather's exact transpose) ----------------------
 #
-# bin_scatter_p :: cot (B, *ish), idx (*ish) -> (B, nb); per-bin segment
-# sums.  A first-class primitive so that transforms applied to a
-# *transposed* gather (e.g. `jax.linearize` of a metric that contains a
-# vjp, as in the geoVI sample update) never look inside the Pallas kernel.
+# bin_scatter_p :: cot (B, *event), idx (*event) or (B, *event) -> (B, nb);
+# per-bin segment sums.  A first-class primitive so that transforms applied
+# to a *transposed* gather (e.g. `jax.linearize` of a metric that contains
+# a vjp, as in the geoVI sample update) never look inside the Pallas kernel.
 
 bin_scatter_p = jax.extend.core.Primitive("bin_scatter")
 
 
-def _scatter_abstract_eval(cot, idx, *, nb):
+def _scatter_abstract_eval(cot, idx, *, nb, batched_idx=False):
     del idx
     return jax.core.ShapedArray((cot.shape[0], nb), cot.dtype)
 
 
-def _scatter_jvp_rule(primals, tangents, *, nb):
+def _scatter_jvp_rule(primals, tangents, *, nb, batched_idx=False):
     cot, idx = primals
     c_dot, _ = tangents
-    out = bin_scatter_p.bind(cot, idx, nb=nb)
+    out = bin_scatter_p.bind(cot, idx, nb=nb, batched_idx=batched_idx)
     if isinstance(c_dot, ad.Zero):
         return out, ad.Zero(jax.core.get_aval(out).to_tangent_aval())
-    return out, bin_scatter_p.bind(c_dot, idx, nb=nb)
+    return out, bin_scatter_p.bind(c_dot, idx, nb=nb, batched_idx=batched_idx)
 
 
-def _scatter_transpose_rule(ct, cot, idx, *, nb):
+def _scatter_transpose_rule(ct, cot, idx, *, nb, batched_idx=False):
     assert ad.is_undefined_primal(cot) and not ad.is_undefined_primal(idx)
     if isinstance(ct, ad.Zero):
         return ad.Zero(cot.aval), None
-    return bin_gather_p.bind(ct, idx).astype(cot.aval.dtype), None
+    out = bin_gather_p.bind(ct, idx, batched_idx=batched_idx)
+    return out.astype(cot.aval.dtype), None
 
 
-def _scatter_batching_rule(args, dims, *, nb):
+def _scatter_batching_rule(args, dims, *, nb, batched_idx=False):
     cot, idx = args
     cdim, idim = dims
+    if idim is not None and cdim is not None and not batched_idx:
+        # both batched: pair them natively when the primary batch is 1
+        # (the wrapper always binds B=1); otherwise fall through to the
+        # offset-fold path below.
+        cot_m = jnp.moveaxis(cot, cdim, 0)  # (Bv, B, *event)
+        idx_m = jnp.moveaxis(idx, idim, 0)  # (Bv, *event)
+        bv, b0 = cot_m.shape[:2]
+        if b0 == 1:
+            out = bin_scatter_p.bind(
+                cot_m.reshape((bv,) + cot_m.shape[2:]), idx_m,
+                nb=nb, batched_idx=True,
+            )
+            return out[:, None], 0
     if idim is not None:
         # batched indices: offset each batch member's bins into its own
         # slice of a widened output, then unfold.
         idx = jnp.moveaxis(idx, idim, 0)  # (Bv, *ish)
         bv = idx.shape[0]
+        if batched_idx:
+            raise NotImplementedError(
+                "re-batched per-batch index maps in scatter"
+            )
         offs = jnp.arange(bv, dtype=idx.dtype) * nb
         offs = offs.reshape((bv,) + (1,) * (idx.ndim - 1))
         idx_off = idx + offs
@@ -416,13 +543,25 @@ def _scatter_batching_rule(args, dims, *, nb):
     # cot-only batching: fold the vmap axis into the primitive batch axis
     cot = jnp.moveaxis(cot, cdim, 0)  # (Bv, B, *ish)
     bv, b0 = cot.shape[:2]
+    if batched_idx:
+        idxb = jnp.broadcast_to(idx[None], (bv,) + idx.shape)
+        out = bin_scatter_p.bind(
+            cot.reshape((bv * b0,) + cot.shape[2:]),
+            idxb.reshape((bv * b0,) + idx.shape[1:]),
+            nb=nb, batched_idx=True,
+        )
+        return out.reshape(bv, b0, nb), 0
     out = bin_scatter_p.bind(
         cot.reshape((bv * b0,) + cot.shape[2:]), idx, nb=nb
     )
     return out.reshape(bv, b0, nb), 0
 
 
-bin_scatter_p.def_impl(lambda cot, idx, *, nb: _scatter_impl(cot, idx, nb))
+bin_scatter_p.def_impl(
+    lambda cot, idx, *, nb, batched_idx=False: _scatter_impl(
+        cot, idx, nb, batched_idx=batched_idx
+    )
+)
 bin_scatter_p.def_abstract_eval(_scatter_abstract_eval)
 ad.primitive_jvps[bin_scatter_p] = _scatter_jvp_rule
 ad.primitive_transposes[bin_scatter_p] = _scatter_transpose_rule
@@ -430,7 +569,9 @@ batching.primitive_batchers[bin_scatter_p] = _scatter_batching_rule
 mlir.register_lowering(
     bin_scatter_p,
     mlir.lower_fun(
-        lambda cot, idx, *, nb: _scatter_impl(cot, idx, nb),
+        lambda cot, idx, *, nb, batched_idx=False: _scatter_impl(
+            cot, idx, nb, batched_idx=batched_idx
+        ),
         multiple_results=False,
     ),
 )

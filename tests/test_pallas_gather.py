@@ -195,3 +195,32 @@ def test_kernels_interpret_mode_match_xla(monkeypatch):
     ref_adj = jax.ops.segment_sum(ct, idx, num_segments=nb)
     np.testing.assert_allclose(got_fwd, ref_fwd, rtol=1e-13)
     np.testing.assert_allclose(got_adj, ref_adj, rtol=1e-12)
+
+
+def test_kernels_interpret_mode_batched_idx(monkeypatch):
+    """The native per-batch-index kernels (shared=False: per-batch block
+    ranges, streamed table rows) against per-member XLA references — the
+    path taken when vmapped linearize residualizes the index map per
+    posterior sample."""
+    from nifty_tpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(13)
+    nb, bv, n = 96, 3, 9000
+    idxs = jnp.asarray(rng.integers(0, nb, size=(bv, n)))
+    tables = jnp.asarray(rng.standard_normal((bv, nb)))
+    cts = jnp.asarray(rng.standard_normal((bv, n)))
+
+    monkeypatch.setattr(pg, "_INTERPRET", True)
+    got_fwd = pg.bin_gather_p.bind(tables, idxs, batched_idx=True)
+    got_adj = pg.bin_scatter_p.bind(cts, idxs, nb=nb, batched_idx=True)
+    # and the full vmap(bin_gather, in_axes=(0, 0)) route that produces it
+    got_vmap = jax.vmap(pg.bin_gather, in_axes=(0, 0))(tables, idxs)
+    monkeypatch.setattr(pg, "_INTERPRET", False)
+    ref_fwd = jnp.stack([t[i] for t, i in zip(tables, idxs)])
+    ref_adj = jnp.stack([
+        jax.ops.segment_sum(c, i, num_segments=nb)
+        for c, i in zip(cts, idxs)
+    ])
+    np.testing.assert_allclose(got_fwd, ref_fwd, rtol=1e-13)
+    np.testing.assert_allclose(got_vmap, ref_fwd, rtol=1e-13)
+    np.testing.assert_allclose(got_adj, ref_adj, rtol=1e-12)
