@@ -259,6 +259,198 @@ def _pallas_scatter(cot2, idx3, npad, shared: bool):
     return out.reshape(nbatch, npad)
 
 
+# -- MXU one-hot chunk kernels (wide-span mid-size tables) -----------------
+#
+# For unbinned mode tables (1024 < nb <= 4096) the per-block [min, max]
+# spans are wide (~2000 of 3238 bins at 128^2), so the select loop pays
+# O(span) sequential scalar iterations.  These kernels instead sweep the
+# span in 128-bin chunks: build the chunk's one-hot mask with a single
+# broadcast compare and contract it against the table (gather) or the
+# cotangent (scatter) on the MXU — ~span/128 matmuls instead of ~span
+# scalar-load iterations, and the batch rides the matmul M dimension for
+# free.  Layouts put the grid axis leading so every block keeps Mosaic's
+# (8, 128)-tiled last two dimensions.
+
+_MXU_LANES = 4096  # flat elements per grid block (32 vregs wide)
+
+
+def _make_gather_mxu_kernel(n_rows: int):
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    def kernel(lo_ref, hi_ref, idx_ref, table_ref, out_ref):
+        i = pl.program_id(0)
+        ids = idx_ref[0]  # (1, LANES) int32
+        c0 = (lo_ref[i] // 128) * 128
+        nch = (hi_ref[i] + 1 - c0 + 127) // 128
+
+        def body(j, acc):
+            c = c0 + j * 128
+            iota = lax.broadcasted_iota(
+                jnp.int32, (128, _MXU_LANES), 0
+            ) + c
+            mask = (iota == ids).astype(acc.dtype)  # (128, LANES)
+            tch = table_ref[:, pl.dslice(c, 128)]  # (n_rows, 128)
+            return acc + jnp.dot(
+                tch, mask, preferred_element_type=acc.dtype
+            )
+
+        out_ref[0] = lax.fori_loop(
+            0, nch, body,
+            jnp.zeros((n_rows, _MXU_LANES), out_ref.dtype),
+        )
+
+    return kernel
+
+
+def _make_scatter_mxu_kernel():
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    def kernel(lo_ref, hi_ref, idx_ref, cot_ref, out_ref, acc_ref):
+        i = pl.program_id(0)
+        n_i = pl.num_programs(0)
+        ids = idx_ref[0]  # (1, LANES)
+        cot = cot_ref[0]  # (n_rows, LANES)
+
+        @pl.when(i == 0)
+        def _zero():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        c0 = (lo_ref[i] // 128) * 128
+        nch = (hi_ref[i] + 1 - c0 + 127) // 128
+
+        def body(j, _):
+            c = c0 + j * 128
+            iota = lax.broadcasted_iota(
+                jnp.int32, (128, _MXU_LANES), 0
+            ) + c
+            mask = (iota == ids).astype(cot.dtype)  # (128, LANES)
+            # contract the element axis: (n_rows, LANES) x (128, LANES)
+            part = lax.dot_general(
+                cot, mask, (((1,), (1,)), ((), ())),
+                preferred_element_type=acc_ref.dtype,
+            )  # (n_rows, 128)
+            acc_ref[:, pl.dslice(c, 128)] = (
+                acc_ref[:, pl.dslice(c, 128)] + part
+            )
+            return 0
+
+        lax.fori_loop(0, nch, body, 0)
+
+        @pl.when(i == n_i - 1)
+        def _finalize():
+            out_ref[...] = acc_ref[...]
+
+    return kernel
+
+
+def _mxu_idx_layout(idx):
+    """Flatten/pad a shared index map to (n_blocks, 1, LANES) + block
+    [lo, hi] ranges; everything static, folded at compile time."""
+    flat = idx.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    flat = _pad_to(flat, _MXU_LANES, value=0)
+    idxb = flat.reshape(-1, 1, _MXU_LANES)
+    lo = jnp.min(idxb, axis=(1, 2)).astype(jnp.int32)
+    hi = jnp.max(idxb, axis=(1, 2)).astype(jnp.int32)
+    return idxb, lo, hi, n
+
+
+def _pallas_gather_mxu(table2, idx):
+    """table2 (B, nb) x shared idx -> (B, n) via one-hot MXU chunks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nbatch, nb = table2.shape
+    n_rows = int(-(-nbatch // 8) * 8)  # pad batch to sublane tiles
+    table_pad = _pad_to(_pad_to(table2, 128, axis=1), n_rows, axis=0)
+    idxb, lo, hi, n = _mxu_idx_layout(idx)
+    n_blocks = idxb.shape[0]
+    out = pl.pallas_call(
+        _make_gather_mxu_kernel(n_rows),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 1, _MXU_LANES),
+                             lambda i, lo, hi: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(table_pad.shape,
+                             lambda i, lo, hi: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n_rows, _MXU_LANES),
+                                   lambda i, lo, hi: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks, n_rows, _MXU_LANES), table2.dtype
+        ),
+        interpret=_INTERPRET,
+    )(lo, hi, idxb, table_pad)
+    # (n_blocks, n_rows, LANES) -> (B, n)
+    out = jnp.moveaxis(out, 1, 0).reshape(n_rows, -1)[:nbatch, :n]
+    return out
+
+
+def _pallas_scatter_mxu(cot2, idx, nb):
+    """cot2 (B, n) x shared idx -> (B, nb) per-bin sums via MXU chunks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nbatch = cot2.shape[0]
+    npad = int(-(-nb // 128) * 128)
+    n_rows = int(-(-nbatch // 8) * 8)  # pad batch to sublane tiles
+    idxb, lo, hi, n = _mxu_idx_layout(idx)
+    n_blocks = idxb.shape[0]
+    cot_pad = _pad_to(
+        _pad_to(cot2, n_blocks * _MXU_LANES, axis=1), n_rows, axis=0
+    )
+    # (n_rows, n) -> (n_blocks, n_rows, LANES): grid axis leading
+    cot_b = jnp.moveaxis(
+        cot_pad.reshape(n_rows, n_blocks, _MXU_LANES), 0, 1
+    )
+    out = pl.pallas_call(
+        _make_scatter_mxu_kernel(),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, 1, _MXU_LANES),
+                             lambda i, lo, hi: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_rows, _MXU_LANES),
+                             lambda i, lo, hi: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_rows, npad),
+                                   lambda i, lo, hi: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((n_rows, npad), cot2.dtype)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, npad), cot2.dtype),
+        interpret=_INTERPRET,
+    )(lo, hi, idxb, cot_b)
+    return out[:nbatch, :nb]
+
+
+#: MXU-path bounds: mid-size tables only (narrow-span small tables keep
+#: the cheaper select loop; above, XLA), shared float index maps, and a
+#: grid small enough that the scatter's lane-major relayout stays cheap.
+_MXU_MAX_ELEMS = 1 << 21
+
+
+def _use_mxu(nb, n_elems, dtype, batched_idx):
+    if batched_idx or not (_on_tpu() or _INTERPRET):
+        return False
+    if not (SMALL_TABLE_MAX_BINS < nb <= WIDE_TABLE_MAX_BINS):
+        return False
+    if n_elems > _MXU_MAX_ELEMS:
+        return False
+    return jnp.issubdtype(dtype, jnp.floating)
+
+
 def _on_tpu():
     try:
         return jax.default_backend() in ("tpu",)
@@ -286,6 +478,10 @@ def _use_pallas(nb, nbatch=1):
 
 def _gather_impl(table, idx, *, batched_idx=False):
     nbatch, nb = table.shape
+    event = idx.shape[1:] if batched_idx else idx.shape
+    n_elems = int(np.prod(event, dtype=np.int64)) if event else 1
+    if _use_mxu(nb, n_elems, table.dtype, batched_idx):
+        return _pallas_gather_mxu(table, idx).reshape((nbatch,) + event)
     if not _use_pallas(nb, nbatch):
         if batched_idx:
             return jax.vmap(lambda t, i_: jnp.take(t, i_, axis=0))(table, idx)
@@ -293,7 +489,6 @@ def _gather_impl(table, idx, *, batched_idx=False):
     block = _BLOCK_ROWS * 128
     idx3, n = _norm_idx(idx, batched_idx, block)
     out = _pallas_gather(table, idx3, shared=not batched_idx)
-    event = idx.shape[1:] if batched_idx else idx.shape
     return out[:, :n].reshape((nbatch,) + event)
 
 
@@ -341,6 +536,9 @@ def _scatter_impl(cot, idx, nb, *, batched_idx=False):
                 lambda c, i_: _deterministic_scatter(c[None], i_, nb)[0]
             )(cot, idx)
         return _deterministic_scatter(cot, idx, nb)
+    n_elems = int(np.prod(cot.shape[1:], dtype=np.int64))
+    if _use_mxu(nb, n_elems, cot.dtype, batched_idx):
+        return _pallas_scatter_mxu(cot.reshape(nbatch, -1), idx, nb)
     scatter_cap = SCATTER_MAX_BINS if nbatch > 1 else WIDE_TABLE_MAX_BINS
     if not ((_on_tpu() or _INTERPRET) and nb <= scatter_cap):
         if batched_idx:

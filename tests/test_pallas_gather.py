@@ -197,6 +197,40 @@ def test_kernels_interpret_mode_match_xla(monkeypatch):
     np.testing.assert_allclose(got_adj, ref_adj, rtol=1e-12)
 
 
+def test_kernels_interpret_mode_mxu_midsize(monkeypatch):
+    """The one-hot MXU chunk kernels for wide-span mid-size tables
+    (1024 < nb <= 4096): gather and its transpose against XLA references,
+    unbatched and batched, on an unbinned-style sorted-ish index map."""
+    from nifty_tpu.ops import pallas_gather as pg
+
+    rng = np.random.default_rng(17)
+    nb, n = 2000, 70000  # > one 4096-lane block, ragged tail
+    idx = np.sort(rng.integers(0, nb, size=n))  # wide spans per block
+    idx[::7] = rng.integers(0, nb, size=len(idx[::7]))  # roughen
+    idx = jnp.asarray(idx)
+    t = jnp.asarray(rng.standard_normal(nb).astype(np.float32))
+    tb = jnp.asarray(rng.standard_normal((5, nb)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    ctb = jnp.asarray(rng.standard_normal((5, n)).astype(np.float32))
+
+    monkeypatch.setattr(pg, "_INTERPRET", True)
+    assert pg._use_mxu(nb, n, t.dtype, False)
+    got_fwd = pg.bin_gather_p.bind(t[None], idx)[0]
+    got_fwd_b = pg.bin_gather_p.bind(tb, idx)
+    got_adj = pg.bin_scatter_p.bind(ct[None], idx, nb=nb)[0]
+    got_adj_b = pg.bin_scatter_p.bind(ctb, idx, nb=nb)
+    monkeypatch.setattr(pg, "_INTERPRET", False)
+
+    np.testing.assert_allclose(got_fwd, t[idx], rtol=1e-6)
+    np.testing.assert_allclose(got_fwd_b, tb[:, idx], rtol=1e-6)
+    ref_adj = jax.ops.segment_sum(ct, idx, num_segments=nb)
+    np.testing.assert_allclose(got_adj, ref_adj, rtol=1e-4, atol=1e-4)
+    ref_adj_b = jax.vmap(
+        lambda c: jax.ops.segment_sum(c, idx, num_segments=nb)
+    )(ctb)
+    np.testing.assert_allclose(got_adj_b, ref_adj_b, rtol=1e-4, atol=1e-4)
+
+
 def test_kernels_interpret_mode_batched_idx(monkeypatch):
     """The native per-batch-index kernels (shared=False: per-batch block
     ranges, streamed table rows) against per-member XLA references — the
