@@ -291,8 +291,13 @@ def _make_gather_mxu_kernel(n_rows: int):
             ) + c
             mask = (iota == ids).astype(acc.dtype)  # (128, LANES)
             tch = table_ref[:, pl.dslice(c, 128)]  # (n_rows, 128)
+            # HIGHEST: the one-hot contraction is a *selection* — the
+            # multi-pass bf16 decomposition reproduces each f32 value
+            # exactly against the 0/1 mask, where the default single
+            # pass would truncate the table to bf16.
             return acc + jnp.dot(
-                tch, mask, preferred_element_type=acc.dtype
+                tch, mask, preferred_element_type=acc.dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         out_ref[0] = lax.fori_loop(
@@ -326,10 +331,12 @@ def _make_scatter_mxu_kernel():
                 jnp.int32, (128, _MXU_LANES), 0
             ) + c
             mask = (iota == ids).astype(cot.dtype)  # (128, LANES)
-            # contract the element axis: (n_rows, LANES) x (128, LANES)
+            # contract the element axis: (n_rows, LANES) x (128, LANES);
+            # HIGHEST so each cotangent enters the bin sum at full f32
             part = lax.dot_general(
                 cot, mask, (((1,), (1,)), ((), ())),
                 preferred_element_type=acc_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (n_rows, 128)
             acc_ref[:, pl.dslice(c, 128)] = (
                 acc_ref[:, pl.dslice(c, 128)] + part
@@ -775,18 +782,172 @@ mlir.register_lowering(
 )
 
 
+# -- static-index primitives ------------------------------------------------
+#
+# The index map of a power/DOF distributor is a *model constant*.  Binding
+# it as a traced operand lets `jax.linearize` under `vmap` residualize a
+# per-sample copy (the "both-batched" case), which forces the slower
+# batched-index kernels or XLA.  These twin primitives instead carry the
+# map as a hashable *parameter*: the only operand is the table/cotangent,
+# so every vmap is table-only and the shared-index TPU kernels (select
+# loop or MXU one-hot) always apply, batch riding the kernel's grid/M
+# dimension.
+
+
+class StaticIndexMap:
+    """Host index array as a hashable primitive parameter."""
+
+    __slots__ = ("arr", "_hash")
+
+    def __init__(self, arr):
+        arr = np.asarray(arr)
+        if arr.flags.writeable:
+            arr = arr.copy()
+            arr.setflags(write=False)
+        self.arr = arr
+        digest = (
+            arr.tobytes() if arr.size <= 65536 else (id(arr), arr.size)
+        )
+        self._hash = hash((arr.shape, arr.dtype.str, digest))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return isinstance(other, StaticIndexMap) and (
+            self.arr is other.arr or np.array_equal(self.arr, other.arr)
+        )
+
+
+#: id-keyed wrapper cache: models re-trace with the same host index
+#: array object; reusing the wrapper keeps hashes stable and avoids
+#: re-copying multi-MB maps.
+_STATIC_IDX_CACHE: dict = {}
+
+
+def _as_static_idx(arr) -> "StaticIndexMap":
+    key = id(arr)
+    hit = _STATIC_IDX_CACHE.get(key)
+    if hit is not None and hit[0] is arr:
+        return hit[1]
+    wrapped = StaticIndexMap(np.asarray(arr))
+    _STATIC_IDX_CACHE[key] = (arr, wrapped)
+    return wrapped
+
+
+bin_gather_s_p = jax.extend.core.Primitive("bin_gather_static")
+bin_scatter_s_p = jax.extend.core.Primitive("bin_scatter_static")
+
+
+def _gather_s_impl(table, *, idx):
+    return _gather_impl(table, jnp.asarray(idx.arr))
+
+
+def _gather_s_abstract(table, *, idx):
+    return jax.core.ShapedArray(
+        (table.shape[0],) + idx.arr.shape, table.dtype
+    )
+
+
+def _gather_s_jvp(primals, tangents, *, idx):
+    (table,) = primals
+    (t_dot,) = tangents
+    out = bin_gather_s_p.bind(table, idx=idx)
+    if isinstance(t_dot, ad.Zero):
+        return out, ad.Zero(jax.core.get_aval(out).to_tangent_aval())
+    return out, bin_gather_s_p.bind(t_dot, idx=idx)
+
+
+def _gather_s_transpose(ct, table, *, idx):
+    assert ad.is_undefined_primal(table)
+    nb = table.aval.shape[1]
+    if isinstance(ct, ad.Zero):
+        return (ad.Zero(table.aval),)
+    out = bin_scatter_s_p.bind(ct, idx=idx, nb=nb)
+    return (out.astype(table.aval.dtype),)
+
+
+def _gather_s_batching(args, dims, *, idx):
+    (table,) = args
+    (tdim,) = dims
+    table = jnp.moveaxis(table, tdim, 0)
+    bv, b0, nb = table.shape
+    out = bin_gather_s_p.bind(table.reshape(bv * b0, nb), idx=idx)
+    return out.reshape((bv, b0) + idx.arr.shape), 0
+
+
+bin_gather_s_p.def_impl(_gather_s_impl)
+bin_gather_s_p.def_abstract_eval(_gather_s_abstract)
+ad.primitive_jvps[bin_gather_s_p] = _gather_s_jvp
+ad.primitive_transposes[bin_gather_s_p] = _gather_s_transpose
+batching.primitive_batchers[bin_gather_s_p] = _gather_s_batching
+mlir.register_lowering(
+    bin_gather_s_p, mlir.lower_fun(_gather_s_impl, multiple_results=False)
+)
+
+
+def _scatter_s_impl(cot, *, idx, nb):
+    return _scatter_impl(cot, jnp.asarray(idx.arr), nb)
+
+
+def _scatter_s_abstract(cot, *, idx, nb):
+    return jax.core.ShapedArray((cot.shape[0], nb), cot.dtype)
+
+
+def _scatter_s_jvp(primals, tangents, *, idx, nb):
+    (cot,) = primals
+    (c_dot,) = tangents
+    out = bin_scatter_s_p.bind(cot, idx=idx, nb=nb)
+    if isinstance(c_dot, ad.Zero):
+        return out, ad.Zero(jax.core.get_aval(out).to_tangent_aval())
+    return out, bin_scatter_s_p.bind(c_dot, idx=idx, nb=nb)
+
+
+def _scatter_s_transpose(ct, cot, *, idx, nb):
+    assert ad.is_undefined_primal(cot)
+    if isinstance(ct, ad.Zero):
+        return (ad.Zero(cot.aval),)
+    return (bin_gather_s_p.bind(ct, idx=idx).astype(cot.aval.dtype),)
+
+
+def _scatter_s_batching(args, dims, *, idx, nb):
+    (cot,) = args
+    (cdim,) = dims
+    cot = jnp.moveaxis(cot, cdim, 0)
+    bv, b0 = cot.shape[:2]
+    out = bin_scatter_s_p.bind(
+        cot.reshape((bv * b0,) + cot.shape[2:]), idx=idx, nb=nb
+    )
+    return out.reshape(bv, b0, nb), 0
+
+
+bin_scatter_s_p.def_impl(_scatter_s_impl)
+bin_scatter_s_p.def_abstract_eval(_scatter_s_abstract)
+ad.primitive_jvps[bin_scatter_s_p] = _scatter_s_jvp
+ad.primitive_transposes[bin_scatter_s_p] = _scatter_s_transpose
+batching.primitive_batchers[bin_scatter_s_p] = _scatter_s_batching
+mlir.register_lowering(
+    bin_scatter_s_p, mlir.lower_fun(_scatter_s_impl, multiple_results=False)
+)
+
+
 def bin_gather(table, idx, nbins=None):
     """``table[idx]`` for a small 1-D table with a fast TPU path.
 
-    ``idx`` may have any shape (and is typically a static host constant);
-    the op is linear in ``table`` with the per-bin segment sum as its
-    exact transpose, safe under ``jit``/``vmap``/``jax.linearize``/
-    ``jax.linear_transpose``/``grad``.
+    ``idx`` may have any shape; when it is a host constant (the usual
+    case — distributor maps are static model data) it rides as a
+    primitive *parameter*, so vmapped ``jax.linearize`` can never
+    residualize it per sample.  The op is linear in ``table`` with the
+    per-bin segment sum as its exact transpose, safe under ``jit``/
+    ``vmap``/``jax.linearize``/``jax.linear_transpose``/``grad``.
     """
-    idx = jnp.asarray(idx)
     if table.ndim != 1:
         raise ValueError("bin_gather expects a 1-D table; vmap for batches")
-    return bin_gather_p.bind(table[None], idx)[0]
+    if isinstance(idx, StaticIndexMap):
+        return bin_gather_s_p.bind(table[None], idx=idx)[0]
+    if not isinstance(idx, jax.core.Tracer):
+        return bin_gather_s_p.bind(table[None], idx=_as_static_idx(idx))[0]
+    return bin_gather_p.bind(table[None], jnp.asarray(idx))[0]
 
 
 def distribute_power(table, idx):
@@ -798,13 +959,16 @@ def distribute_power(table, idx):
     """
     from .. import config as _config
 
-    idx = np.asarray(idx) if not isinstance(idx, jax.Array) else idx
+    if isinstance(idx, jax.core.Tracer):
+        return table[idx]
     if table.ndim == 1 and (
         _use_pallas(table.shape[0])
+        or _use_mxu(table.shape[0], np.asarray(idx).size, table.dtype, False)
         # Deterministic mode: the primitive's transpose routes through the
         # fixed-association scatter for *any* table size (the XLA
         # fallback's autodiff scatter-add is mesh-dependent).
         or _config.get("deterministic_reductions")
     ):
-        return bin_gather(table, idx)
+        return bin_gather(table, _as_static_idx(idx))
+    idx = np.asarray(idx) if not isinstance(idx, jax.Array) else idx
     return table[idx]

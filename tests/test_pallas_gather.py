@@ -197,6 +197,57 @@ def test_kernels_interpret_mode_match_xla(monkeypatch):
     np.testing.assert_allclose(got_adj, ref_adj, rtol=1e-12)
 
 
+def test_static_idx_no_per_sample_residualization(monkeypatch):
+    """With the index map as a primitive parameter, vmapped
+    ``jax.linearize`` cannot residualize it per sample: the jaxpr contains
+    only the static primitives (single table operand), so the shared-index
+    TPU kernels stay applicable under batching."""
+    from nifty_tpu.ops import pallas_gather as pg
+
+    monkeypatch.setattr(pg, "_INTERPRET", True)
+
+    rng = np.random.default_rng(23)
+    nb = 40
+    idx = rng.integers(0, nb, size=(12, 13))
+    w = jnp.asarray(rng.standard_normal((12, 13)))
+
+    def metric_like(t):
+        # forward (gather) followed by its vjp (scatter), as in a
+        # Gaussian metric J^T N^-1 J
+        def fwd(tt):
+            return pg.distribute_power(tt, idx) * w
+
+        y, vjp = jax.vjp(fwd, t)
+        return vjp(y)[0]
+
+    tb = jnp.asarray(rng.standard_normal((4, nb)))
+
+    def lin_apply(t):
+        _, jvp = jax.linearize(metric_like, t)
+        return jvp(t)
+
+    jaxpr = jax.make_jaxpr(jax.vmap(lin_apply))(tb)
+    prims = {e.primitive.name for e in jaxpr.jaxpr.eqns}
+
+    def all_prims(jx, acc):
+        for e in jx.eqns:
+            acc.add(e.primitive.name)
+            for sub in jax.core.jaxprs_in_params(e.params):
+                all_prims(sub, acc)
+        return acc
+
+    prims = all_prims(jaxpr.jaxpr, set())
+    assert "bin_gather_static" in prims or "bin_scatter_static" in prims
+    assert "bin_gather" not in prims and "bin_scatter" not in prims
+
+    got = jax.vmap(lin_apply)(tb)
+    want = jnp.stack([lin_apply(t) for t in tb])
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # and plain grad/value correctness through the static primitives
+    g = jax.grad(lambda t: jnp.sum(metric_like(t)))(tb[0])
+    assert g.shape == (nb,) and bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_kernels_interpret_mode_mxu_midsize(monkeypatch):
     """The one-hot MXU chunk kernels for wide-span mid-size tables
     (1024 < nb <= 4096): gather and its transpose against XLA references,
