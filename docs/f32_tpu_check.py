@@ -59,7 +59,7 @@ samples, state = jft.optimize_kl(
         lh.domain,
         is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"),
     ),
-    key=jax.random.PRNGKey(7), n_total_iterations=6, n_samples=4,
+    key=jax.random.PRNGKey(7), n_total_iterations=10, n_samples=12,
     draw_linear_kwargs=dict(cg_kwargs=dict(maxiter=80)),
     nonlinearly_update_kwargs=dict(minimize_kwargs=dict(
         xtol=1e-4, maxiter=5, cg_kwargs=dict(maxiter=40))),
@@ -68,7 +68,10 @@ samples, state = jft.optimize_kl(
     sample_mode="nonlinear_resample",
 )
 fields = np.stack([np.asarray(cf(s), dtype=np.float64) for s in samples])
+half = fields.shape[0] // 2
 out = {"mean": fields.mean(0).tolist(), "std": fields.std(0).tolist(),
+       "std_h1": fields[:half].std(0).tolist(),
+       "std_h2": fields[half:].std(0).tolist(),
        "energy": float(state.minimization_state.fun)}
 with open(f"/tmp/f32check_{platform}.json", "w") as f:
     json.dump(out, f)
@@ -94,15 +97,25 @@ def main():
     s_t, s_c = np.asarray(tpu["std"]), np.asarray(cpu["std"])
     spread = 0.5 * (s_t + s_c) + 1e-6
     z = np.abs(m_t - m_c) / spread
+    # MC uncertainty of the std-ratio median: spread between ratios from
+    # independent half-sample std estimates (same platform), i.e. the
+    # resolution floor of this check.
+    h_t1, h_t2 = np.asarray(tpu["std_h1"]), np.asarray(tpu["std_h2"])
+    mc_floor = abs(float(np.median(h_t1 / (h_t2 + 1e-12))) - 1.0)
+    ratio = float(np.median(s_t / s_c))
     rec = {
+        "n_samples": 24,
         "mean_abs_diff": float(np.abs(m_t - m_c).mean()),
         "median_z": float(np.median(z)),
         "frac_z_gt3": float(np.mean(z > 3.0)),
-        "std_ratio_median": float(np.median(s_t / s_c)),
+        "std_ratio_median": ratio,
+        "std_ratio_mc_floor": mc_floor,
         "energy_tpu_f32": tpu["energy"],
         "energy_cpu_f64": cpu["energy"],
+        # Tight acceptance (VERDICT r3 weak #1): posterior std must agree
+        # within 10%, means within a fraction of the posterior std.
         "pass": bool(np.median(z) < 1.0 and np.mean(z > 3.0) < 0.05
-                     and 0.5 < np.median(s_t / s_c) < 2.0),
+                     and 0.9 < ratio < 1.1),
     }
     print(json.dumps(rec))
     with open("/root/repo/docs/f32_tpu_check.json", "w") as f:

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""On-chip SHT timings: GL and HEALPix synthesis/analysis at lmax 512-2048.
+
+Fills the SURVEY §2.7 "TPU SHT" perf gap: batched-Legendre matmul (MXU)
+GL transforms, the on-the-fly scan variant for large lmax, and the
+HEALPix synthesis + CG-iterative / ring-weight analysis.  Appends one
+JSON record per configuration to docs/perf_sht.json.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+OUT = "/root/repo/docs/perf_sht.json"
+records = []
+
+
+def emit(rec):
+    records.append(rec)
+    print(json.dumps(rec), flush=True)
+    with open(OUT, "w") as f:
+        json.dump(records, f, indent=1)
+
+
+def timed(fn, *args, n=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def gl(lmax, on_the_fly=False):
+    if on_the_fly:
+        from nifty_tpu.ops.sht import SphericalHarmonicTransformOnTheFly as T
+    else:
+        from nifty_tpu.ops.sht import SphericalHarmonicTransform as T
+
+    t_build = time.perf_counter()
+    sht = T(lmax=lmax)
+    t_build = time.perf_counter() - t_build
+    key = jax.random.PRNGKey(0)
+    alm = jax.random.normal(key, ((lmax + 1) ** 2,), jnp.float32)
+    synth = jax.jit(sht.synthesize_real)
+    m = synth(alm)
+    t_synth = timed(synth, alm)
+    ana = jax.jit(lambda mm: sht.map2alm(mm))
+    t_ana = timed(ana, m)
+    # round-trip accuracy (analysis exact on GL grid)
+    alm_c = jax.jit(sht.real2alm)(alm)
+    rt = np.asarray(ana(jax.jit(sht.alm2map)(alm_c)))
+    err = float(np.abs(rt - np.asarray(alm_c)).max()
+                / max(np.abs(np.asarray(alm_c)).max(), 1e-30))
+    return {
+        "probe": "gl_sht" + ("_otf" if on_the_fly else ""),
+        "lmax": lmax, "grid": list(getattr(sht, "grid_shape", (0, 0))),
+        "build_s": t_build, "synthesis_s": t_synth, "analysis_s": t_ana,
+        "roundtrip_rel_err_f32": err,
+    }
+
+
+def healpix(lmax, nside):
+    from nifty_tpu.ops.healpix_sht import HEALPixSHT
+
+    t_build = time.perf_counter()
+    sht = HEALPixSHT(lmax=lmax, nside=nside)
+    t_build = time.perf_counter() - t_build
+    key = jax.random.PRNGKey(0)
+    alm = jax.random.normal(key, ((lmax + 1) ** 2,), jnp.float32)
+    synth = jax.jit(sht.synthesize_real)
+    m = synth(alm)
+    t_synth = timed(synth, alm)
+    ana_w = jax.jit(sht.map2alm_weighted)
+    t_ana_w = timed(ana_w, m)
+    ana_cg = jax.jit(lambda mm: sht.map2alm(mm, maxiter=10))
+    t_ana_cg = timed(ana_cg, m, n=2)
+    return {
+        "probe": "healpix_sht", "lmax": lmax, "nside": nside,
+        "npix": int(sht.npix), "build_s": t_build, "synthesis_s": t_synth,
+        "analysis_ring_weight_s": t_ana_w,
+        "analysis_cg10_s": t_ana_cg,
+    }
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "gl"):
+        for lmax in (512, 1024, 2048):
+            emit(gl(lmax))
+        emit(gl(2048, on_the_fly=True))
+    if which in ("all", "hp"):
+        for lmax, nside in ((511, 256), (1023, 512), (2047, 1024)):
+            emit(healpix(lmax, nside))
+
+
+if __name__ == "__main__":
+    main()

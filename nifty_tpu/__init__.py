@@ -134,6 +134,7 @@ from .wiener_filter import (
 )
 from .solvers.cg import cg
 from .solvers.newton_cg import OptimizeResults, minimize
+from .solvers.scipy_bridge import minimize_scipy
 from .stats import (
     interpolator,
     invgamma_prior,

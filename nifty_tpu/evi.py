@@ -85,55 +85,55 @@ def draw_linear_residual(
     """
     if not isinstance(likelihood, Likelihood):
         raise TypeError(f"`likelihood` of invalid type {type(likelihood)!r}")
-    lh, p_liquid = likelihood.freeze(
-        point_estimates=point_estimates, primals=pos
-    )
+    lh, live = likelihood.freeze(point_estimates=point_estimates, primals=pos)
 
     cg_kwargs = dict(cg_kwargs or {})
 
-    subkey_nll, subkey_prr = random.split(key, 2)
-    nll_smpl = sample_likelihood(lh, p_liquid, key=subkey_nll)
-    prr_inv_metric_smpl = random_like(key=subkey_prr, primals=p_liquid)
-    # A metric sample becomes an inverse-metric sample by applying the
-    # inverse metric to it (CG solve below).
-    prr_smpl = prr_inv_metric_smpl
-    smpl = tree_add(nll_smpl, prr_smpl)
+    key_data, key_latent = random.split(key, 2)
+    # Metric-covariance sample = likelihood part (white data-space noise
+    # pulled back through the metric's left square root) + a white latent
+    # sample for the unit prior block.
+    data_part = sample_likelihood(lh, live, key=key_data)
+    latent_part = random_like(key=key_latent, primals=live)
+    sample = tree_add(data_part, latent_part)
     info = jnp.zeros(())
     if from_inverse:
-        # Hoist the forward linearization out of the CG loop: the metric
-        # matvec at fixed primals becomes FFT+pointwise only (amplitude
-        # gathers etc. are traced once and turn into loop constants).
-        met = lh.metric_at(p_liquid)
+        # Applying (M_lh + 1)^{-1} (the CG solve below) converts the
+        # metric-covariance sample into an inverse-metric one.  Hoist the
+        # forward linearization out of the CG loop: the metric matvec at
+        # fixed primals becomes FFT+pointwise only (amplitude gathers etc.
+        # are traced once and turn into loop constants).
+        met = lh.metric_at(live)
         if napprox and napprox > 0 and "preconditioner" not in cg_kwargs:
             from .probing import approximation2endo
 
             # Metric samples are cheap (forward applications, no solve);
             # their leafwise mean-square approximates diag(M_lh + 1).
             def _metric_sample(k):
-                k_nll, k_prr = random.split(k, 2)
+                k_data, k_latent = random.split(k, 2)
                 return tree_add(
-                    sample_likelihood(lh, p_liquid, key=k_nll),
-                    random_like(key=k_prr, primals=p_liquid),
+                    sample_likelihood(lh, live, key=k_data),
+                    random_like(key=k_latent, primals=live),
                 )
 
-            # fold_in (not another split) keeps the nll/prior streams
+            # fold_in (not another split) keeps the data/latent streams
             # identical with and without preconditioning.
             keys_np = random.split(random.fold_in(key, 0x9E37), napprox)
             diag = approximation2endo(jax.vmap(_metric_sample)(keys_np))
             cg_kwargs["preconditioner"] = Partial(
                 lambda d, r: tree_map(jnp.divide, r, d), diag
             )
-        smpl, info = cg(
+        sample, info = cg(
             lambda t: tree_add(met(t), t),
-            smpl,
-            x0=prr_inv_metric_smpl,
+            sample,
+            x0=latent_part,
             name=cg_name,
             _raise_nonposdef=_raise_nonposdef,
             **cg_kwargs,
         )
     if point_estimates:
-        smpl = lh.insert_zeros(smpl)
-    return smpl, info
+        sample = lh.insert_zeros(sample)
+    return sample, info
 
 
 def _nonlinear_update_funcs(likelihood, point_estimates, jit=False):

@@ -24,6 +24,97 @@ def _rand(key, proto):
     return random_like(key, shape_dtype_like(proto))
 
 
+def _with_dtype(proto, dtype):
+    """Shape/dtype tree of ``proto`` with every leaf's dtype replaced
+    (complex dtypes keep complex leaves complex, real stay real unless the
+    requested dtype itself is complex)."""
+    import jax.numpy as jnp
+
+    def leaf(sd):
+        return jax.ShapeDtypeStruct(np.shape(sd), jnp.dtype(dtype))
+
+    return tree_map(leaf, shape_dtype_like(proto))
+
+
+def assert_equal_tree(a, b, err_msg="trees differ"):
+    """Bitwise equality of two pytrees (the reference's ``assert_equal``,
+    ``src/extra.py:151``)."""
+    la, lb = tree_leaves(a), tree_leaves(b)
+    assert len(la) == len(lb), f"{err_msg}: different structures"
+    for u, v in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v),
+                                      err_msg=err_msg)
+
+
+def check_purity(f: Callable, x, *, err_msg="operator is impure"):
+    """Side-effect check: applying ``f`` twice to the same input must give
+    bitwise-identical results (detects hidden state/caches/RNG use inside a
+    model).  Parity: ``src/extra.py:303`` ``_purity_check``."""
+    assert_equal_tree(f(x), f(x), err_msg=err_msg)
+    return True
+
+
+def check_dtype_purity(
+    f: Callable,
+    domain,
+    key,
+    *,
+    dtypes=("float32", "float64"),
+    expected=None,
+):
+    """Dtype-propagation check: for each requested input dtype, every
+    output leaf's dtype must equal the expectation (default: the input
+    dtype itself — no silent up- or down-casting through the model).
+
+    ``expected`` may be a dtype, a dtype-valued function of the input
+    dtype, or ``None``.  Parity: the dtype legs of the reference's
+    ``check_linear_operator`` (``src/extra.py:41-96,156-230``, which runs
+    every check in f32 and f64 and asserts results live in the declared
+    target).
+    """
+    import jax.numpy as jnp
+
+    for dt in dtypes:
+        x = random_like(key, _with_dtype(domain, dt))
+        out = f(x)
+        want = expected(dt) if callable(expected) else (expected or dt)
+        for leaf in tree_leaves(out):
+            got = jnp.asarray(leaf).dtype
+            assert got == jnp.dtype(want), (
+                f"dtype purity violated: input {dt} -> output {got}, "
+                f"expected {jnp.dtype(want)}"
+            )
+    return True
+
+
+def check_inverse(
+    f: Callable,
+    inverse: Callable,
+    domain,
+    key,
+    *,
+    target=None,
+    rtol: float = 1e-9,
+    atol: float = 1e-11,
+):
+    """Round-trip check ``inverse(f(x)) == x`` and ``f(inverse(y)) == y``.
+
+    Parity: ``src/extra.py:171`` ``_inverse_implementation``.
+    """
+    k1, k2 = jax.random.split(key, 2)
+    x = _rand(k1, domain)
+    rt = inverse(f(x))
+    for a, b in zip(tree_leaves(rt), tree_leaves(x)):
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                                   err_msg="inverse(f(x)) != x")
+    y = _rand(k2, f(x) if target is None else target)
+    rt = f(inverse(y))
+    for a, b in zip(tree_leaves(rt), tree_leaves(y)):
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                                   err_msg="f(inverse(y)) != y")
+    return True
+
+
 def check_linear_model(
     f: Callable,
     domain,
@@ -33,15 +124,43 @@ def check_linear_model(
     rtol: float = 1e-9,
     atol: float = 1e-11,
     assert_adjoint: bool = True,
+    inverse: "Callable | None" = None,
+    dtypes=None,
+    assert_purity: bool = False,
 ):
     """Verify that ``f`` is linear: homogeneity/additivity, agreement with
     its own jvp, and adjointness of jvp vs vjp (``<Jx, y> == <x, J^T y>``).
 
-    Parity: ``src/extra.py:41`` ``check_linear_operator``.
+    Optional extra legs (full ``check_linear_operator`` parity,
+    ``src/extra.py:41``):
+
+    - ``inverse``: round-trip ``inverse(f(x)) == x`` both ways;
+    - ``dtypes``: re-run the core checks for each listed input dtype and
+      assert outputs keep that dtype (dtype purity);
+    - ``assert_purity``: double application is bitwise identical.
     """
+    if dtypes is not None:
+        for dt in dtypes:
+            check_linear_model(
+                f, _with_dtype(domain, dt), key,
+                target=target, rtol=rtol, atol=atol,
+                assert_adjoint=assert_adjoint, inverse=inverse,
+                dtypes=None, assert_purity=assert_purity,
+            )
+        check_dtype_purity(f, domain, key, dtypes=dtypes)
+        return True
+
     k1, k2, k3 = jax.random.split(key, 3)
     x = _rand(k1, domain)
     y = _rand(k2, domain)
+
+    if assert_purity:
+        check_purity(f, x)
+    if inverse is not None:
+        check_inverse(
+            f, inverse, domain, key, target=target,
+            rtol=10 * rtol, atol=10 * atol,
+        )
 
     fx, fy = f(x), f(y)
     # additivity + homogeneity
@@ -86,16 +205,19 @@ def check_model(
     rtol: float = 1e-4,
     atol: float = 1e-6,
     adjoint_rtol: float = 1e-8,
+    assert_purity: bool = False,
 ):
     """Verify the Jacobian of (possibly nonlinear) ``f`` against central
     finite differences along a random direction.
 
     Parity: ``src/extra.py:99`` ``check_operator`` (Jacobian vs finite
-    differences).
+    differences; ``assert_purity`` adds its ``_purity_check`` leg).
     """
     k1, k2 = jax.random.split(key)
     x = _rand(k1, domain)
     t = _rand(k2, domain)
+    if assert_purity:
+        check_purity(f, x)
     _, jvp_val = jax.jvp(f, (x,), (t,))
     fp = f(tree_add(x, tree_scale(t, step)))
     fm = f(tree_add(x, tree_scale(t, -step)))

@@ -183,8 +183,12 @@ class NUTSChain(_Sampler):
         # Normalize the tree's summed Metropolis statistic by its number of
         # proposals (2^depth - 1) so ``acceptance`` is a per-transition
         # probability in [0, 1] (reference: ``src/re/hmc_oo.py:237-240``).
-        num_prop = 2 ** depths.astype(jnp.int32) - 1
-        acc = jnp.where(num_prop > 0, acc / jnp.maximum(num_prop, 1), 0.0)
+        # Float exponentiation: int32 2**d overflows for user-settable
+        # max_tree_depth >= 31 (the reference uses uint64 here,
+        # src/re/hmc_oo.py:237); float64/float32 stays exact up to depth
+        # 53/24 and merely loses precision (not sign) beyond.
+        num_prop = 2.0 ** depths.astype(float) - 1.0
+        acc = jnp.where(num_prop > 0, acc / jnp.maximum(num_prop, 1.0), 0.0)
         return Chain(
             samples=samples,
             divergences=div,

@@ -188,8 +188,9 @@ class VariableCovarianceGaussian(Likelihood):
     """Gaussian likelihood with inferred (diagonal) covariance.
 
     Acts on a tuple ``(mean, std_inv)``.  The Fisher metric is diagonal in
-    these coordinates: ``diag(std_inv^2, fct / std_inv^2)`` with ``fct=2``
-    real / ``4`` complex.
+    these coordinates: ``diag(std_inv^2, 2·ndof / std_inv^2)`` where
+    ``ndof`` is the number of real degrees of freedom per data entry
+    (1 real, 2 complex).
     """
 
     data: Any = dataclasses.field(metadata=dict(static=False))
@@ -201,29 +202,39 @@ class VariableCovarianceGaussian(Likelihood):
         shp = shape_dtype_like((data, jnp.real(data)))
         super().__init__(domain=shp, lsm_tangents_shape=shp)
 
+    @property
+    def _ndof(self) -> int:
+        """Real degrees of freedom per data entry (2 for complex data) —
+        the multiplicity of the log-determinant / scale-curvature terms."""
+        return 2 if self.iscomplex else 1
+
     def energy(self, primals):
         mean, std_inv = primals
         res = (self.data - mean) * std_inv
-        fct = 1 + self.iscomplex
-        return 0.5 * vdot(res, res).real - fct * jnp.sum(jnp.log(std_inv))
+        return 0.5 * vdot(res, res).real - self._ndof * jnp.sum(
+            jnp.log(std_inv)
+        )
 
     def metric(self, primals, tangents):
-        fct = 2 * (1 + self.iscomplex)
-        si2 = primals[1] ** 2
-        return type(primals)((si2 * tangents[0], fct * tangents[1] / si2))
+        prec = primals[1] ** 2  # precision = std_inv^2
+        return type(primals)(
+            (prec * tangents[0], (2 * self._ndof) * tangents[1] / prec)
+        )
 
     def left_sqrt_metric(self, primals, tangents):
-        fct = jnp.sqrt(2.0) ** (1 + self.iscomplex)
+        scale_curv = jnp.sqrt(2.0) ** self._ndof
         return type(primals)(
-            (primals[1] * tangents[0], fct * tangents[1] / primals[1])
+            (primals[1] * tangents[0], scale_curv * tangents[1] / primals[1])
         )
 
     def transformation(self, primals):
         # No global Euclidean transformation exists; use the local
         # residual-based approximation (same choice as the reference).
-        fct = 1 + self.iscomplex
         return type(primals)(
-            (primals[1] * (primals[0] - self.data), fct * jnp.log(primals[1]))
+            (
+                primals[1] * (primals[0] - self.data),
+                self._ndof * jnp.log(primals[1]),
+            )
         )
 
     def normalized_residual(self, primals):

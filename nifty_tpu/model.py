@@ -182,8 +182,19 @@ class LazyModel(metaclass=PyTreeMeta):
 class Model(LazyModel):
     """Join a callable with a domain, target, and init rule.
 
-    Parity: ``src/re/model.py:169-241``.
+    ``consts`` (optional) is a pytree of large model constants (e.g. power
+    distributor index maps, response tables) carried as *dynamic* pytree
+    leaves and fed to ``call`` as its first argument.  Because they are
+    children of the model pytree, they travel as runtime device buffers
+    whenever the model is passed through a ``jit`` boundary as an argument
+    — shared across every compiled program — instead of being baked into
+    each executable as a multi-MB constant.  Parity:
+    ``src/re/model.py:169-241`` (the reference has no analog; it closes
+    over constants, which is fine on CPU but duplicates HBM per
+    executable on TPU).
     """
+
+    consts: Any = dataclasses.field(default=None, metadata=dict(static=False))
 
     def __init__(
         self,
@@ -193,8 +204,10 @@ class Model(LazyModel):
         target=NoValue,
         init=NoValue,
         white_init: bool = False,
+        consts=None,
     ):
         self._call = call
+        self.consts = consts
         if init is NoValue and domain is not NoValue and white_init:
             init = tree_map(lambda p: partial(random_like, primals=p), domain)
         elif init is NoValue and domain is NoValue:
@@ -206,6 +219,8 @@ class Model(LazyModel):
         super().__init__(domain=domain, target=target, init=init)
 
     def __call__(self, *args, **kwargs):
+        if self.consts is not None:
+            return self._call(self.consts, *args, **kwargs)
         return self._call(*args, **kwargs)
 
     def __repr__(self):

@@ -37,7 +37,11 @@ import numpy as np
 from jax import numpy as jnp
 
 from ..model import Model, WrappedCall, wrap
-from ..ops.harmonic import fourier_mode_distributor, hartley
+from ..ops.harmonic import (
+    fourier_mode_distributor,
+    fourier_mode_index_quarter,
+    hartley,
+)
 from ..ops.pallas_gather import distribute_power
 from ..stats import lognormal_prior, normal_prior
 from ..tree import ShapeWithDtype, random_like
@@ -58,7 +62,13 @@ RegularFourierGrid = namedtuple(
         "mode_lengths",
         "relative_log_mode_lengths",
         "log_volume",
+        # Same map on the per-axis folded quarter grid (axis length
+        # n//2+1): idx_full == idx_q[fold(i0), fold(i1), ...].  Used by
+        # `finalize` on large grids to cut distributor gather/scatter work
+        # 2^d-fold (see ops.harmonic.fourier_mode_index_quarter).
+        "power_distributor_quarter",
     ),
+    defaults=(None,),
 )
 
 # Spherical-harmonic "grid": modes are the (lmax+1)^2 real coefficients,
@@ -160,10 +170,12 @@ def make_grid(shape, distances, harmonic_type="fourier",
         raise ValueError(f"invalid `harmonic_type` {harmonic_type!r}")
 
     m_length_idx, m_length, m_count = fourier_mode_distributor(shape, distances)
+    m_length_idx_q = fourier_mode_index_quarter(shape, distances, m_length)
     if n_bins is not None and m_length.size > n_bins:
-        m_length_idx, m_length, m_count = _log_binned_distributor(
+        m_length_idx, m_length, m_count, dense = _log_binned_distributor(
             m_length_idx, m_length, m_count, int(n_bins)
         )
+        m_length_idx_q = dense[m_length_idx_q].astype(np.int32)
     # Relative log mode lengths: um[0] = 0 (zero mode), um[k>=1] =
     # log(k_len) - log(k_len[1]); log_volume are the log-k bin widths the
     # IWP deviations integrate over.
@@ -180,6 +192,7 @@ def make_grid(shape, distances, harmonic_type="fourier",
         mode_lengths=m_length,
         relative_log_mode_lengths=um,
         log_volume=log_vol,
+        power_distributor_quarter=m_length_idx_q,
     )
     return RegularCartesianGrid(
         shape=shape,
@@ -211,12 +224,27 @@ def _log_binned_distributor(m_length_idx, m_length, m_count, n_bins):
     b_len = np.bincount(dense, weights=w * m_length, minlength=nb) / b_count
     b_len[0] = 0.0
     new_idx = dense[m_length_idx].astype(np.int32)
-    return new_idx, b_len, b_count.astype(np.int64)
+    return new_idx, b_len, b_count.astype(np.int64), dense
 
 
-def _remove_slope(rel_log_mode_dist, x):
-    sc = rel_log_mode_dist / rel_log_mode_dist[-1]
-    return x - x[-1] * sc
+def _mirror_expand(a, axis, n):
+    """Expand a per-axis folded (quarter-grid) array to the full
+    fft-ordered axis of length ``n``: full index ``i`` reads folded index
+    ``min(i, n - i)``.  Pure slice/flip/concat — no gather; the autodiff
+    transpose is the slice+add fold, likewise gather-free and
+    mesh-deterministic."""
+    q = a.shape[axis]
+    assert q == n // 2 + 1, (q, n)
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(1, n - q + 1)
+    tail = jnp.flip(a[tuple(sl)], axis=axis)
+    return jnp.concatenate([a, tail], axis=axis)
+
+
+def _detrend(log_k_rel, x):
+    """Subtract the straight line through the origin and ``x``'s endpoint
+    (in relative-log-k coordinates), so deviations carry no net slope."""
+    return x - x[-1] * (log_k_rel / log_k_rel[-1])
 
 
 def _as_prior(x, default, what):
@@ -240,63 +268,71 @@ def non_parametric_amplitude(
 
     Parity: ``src/re/correlated_field.py:219``.
     """
-    totvol = grid.total_volume
-    rel_log_mode_len = jnp.asarray(grid.harmonic_grid.relative_log_mode_lengths)
-    mode_multiplicity = jnp.asarray(grid.harmonic_grid.mode_multiplicity, dtype=float)
-    log_vol = np.asarray(grid.harmonic_grid.log_volume)
+    # `kind` decides whether the returned table multiplies harmonic modes
+    # directly ("amplitude") or is a power spectrum whose sqrt does
+    # ("power"); both share one normalization formula with a different
+    # exponent on the shape function.
+    if kind.lower() not in ("amplitude", "power"):
+        raise ValueError(f"invalid kind {kind!r}")
+    expo = 2.0 if kind.lower() == "amplitude" else 1.0
 
-    fluctuations = WrappedCall(
+    vol = grid.total_volume
+    log_k_rel = jnp.asarray(grid.harmonic_grid.relative_log_mode_lengths)
+    multiplicity = jnp.asarray(grid.harmonic_grid.mode_multiplicity, dtype=float)
+    bin_log_vol = np.asarray(grid.harmonic_grid.log_volume)
+
+    fluct_m = WrappedCall(
         fluctuations, name=prefix + "fluctuations", white_init=True
     )
-    ptree = dict(fluctuations.domain)
-    loglogavgslope = WrappedCall(
+    slope_m = WrappedCall(
         loglogavgslope, name=prefix + "loglogavgslope", white_init=True
     )
-    ptree.update(loglogavgslope.domain)
-    deviations = None
-    if flexibility is not None and log_vol.size > 0:
-        flexibility = WrappedCall(
+    latents = dict(fluct_m.domain)
+    latents.update(slope_m.domain)
+
+    wiggle_m = None
+    if flexibility is not None and bin_log_vol.size > 0:
+        flex_m = WrappedCall(
             flexibility, name=prefix + "flexibility", white_init=True
         )
+        asp_m = None
         if asperity is not None:
-            asperity = WrappedCall(
+            asp_m = WrappedCall(
                 asperity, name=prefix + "asperity", white_init=True
             )
-        deviations = IntegratedWienerProcess(
+        # Smooth spectrum deviations: an integrated Wiener process over
+        # log-k, whose increments live on the log-k bin volumes.
+        wiggle_m = IntegratedWienerProcess(
             jnp.zeros((2,)),
-            flexibility,
-            jnp.asarray(log_vol),
+            flex_m,
+            jnp.asarray(bin_log_vol),
             name=prefix + "spectrum",
-            asperity=asperity,
+            asperity=asp_m,
         )
-        ptree.update(deviations.domain)
+        latents.update(wiggle_m.domain)
 
     def amplitude(primals: Mapping) -> jnp.ndarray:
-        flu = fluctuations(primals)
-        ln_spectrum = loglogavgslope(primals) * rel_log_mode_len
-        if deviations is not None:
-            twolog = deviations(primals)
-            # Zero-mode prepended; IWP position component only.
-            twolog = jnp.concatenate((jnp.zeros((1,)), twolog[:, 0]))
-            ln_spectrum += _remove_slope(rel_log_mode_len, twolog)
+        # Shape in log-log space: straight power law + de-trended IWP path.
+        log_shape = slope_m(primals) * log_k_rel
+        if wiggle_m is not None:
+            path = wiggle_m(primals)[:, 0]  # IWP position component
+            path = jnp.concatenate((jnp.zeros((1,)), path))  # pin zero mode
+            log_shape = log_shape + _detrend(log_k_rel, path)
+        shape = jnp.exp(log_shape)
 
-        spectrum = jnp.exp(ln_spectrum)
-        if kind.lower() == "amplitude":
-            norm = jnp.sqrt(jnp.sum(mode_multiplicity[1:] * spectrum[1:] ** 2))
-            norm /= jnp.sqrt(totvol)
-            amp = flu * (jnp.sqrt(totvol) / norm) * spectrum
-        elif kind.lower() == "power":
-            norm = jnp.sqrt(jnp.sum(mode_multiplicity[1:] * spectrum[1:]))
-            norm /= jnp.sqrt(totvol)
-            amp = flu * (jnp.sqrt(totvol) / norm) * jnp.sqrt(spectrum)
-        else:
-            raise ValueError(f"invalid kind {kind!r}")
-        return amp.at[0].set(totvol)
+        # Normalize so `fluctuations` is the a-priori total std of the
+        # field: divide by the multiplicity-weighted band integral of the
+        # shape (harmonic-space integral brings in the total volume).
+        band = jnp.sum(multiplicity[1:] * shape[1:] ** expo)
+        scale = fluct_m(primals) * vol / jnp.sqrt(band)
+        amp = scale * shape ** (expo / 2.0)
+        return amp.at[0].set(vol)
 
     m = Model(
-        amplitude, domain=dict(ptree), init=partial(random_like, primals=ptree)
+        amplitude, domain=dict(latents),
+        init=partial(random_like, primals=latents),
     )
-    m.fluctuation_amplitude = fluctuations
+    m.fluctuation_amplitude = fluct_m
     return m
 
 
@@ -361,6 +397,13 @@ class CorrelatedFieldMaker:
     target subgrid; ``finalize`` composes power distribution → outer
     product → zero-mode scaling → Hartley transform → offset.
     """
+
+    #: Distributor index maps at or above this size become dynamic model
+    #: ``consts`` (runtime device buffers shared across all compiled
+    #: programs) instead of per-executable embedded constants; below it
+    #: they stay static so the TPU gather kernels (MXU one-hot /
+    #: select-loop, ops/pallas_gather.py) can specialize on them.
+    RUNTIME_DIST_MIN_BYTES = 8 * 2**20
 
     def __init__(self, prefix: str):
         self._azm = None
@@ -678,12 +721,57 @@ class CorrelatedFieldMaker:
                 x = dvol * tf(x, axes=axes)
             return x
 
-        # Distributor indices as static numpy constants (gather on device).
-        distributors = tuple(
-            np.asarray(g.harmonic_grid.power_distributor) for g in grids
+        # Distributor index maps.  Small maps ride as *static* numpy
+        # constants — the static-index primitives then select the MXU
+        # one-hot / select-loop TPU kernels (see ops/pallas_gather.py).
+        # Maps above ``RUNTIME_DIST_MIN_BYTES`` instead become dynamic
+        # ``consts`` leaves of the returned Model: they enter every
+        # compiled program as ONE shared runtime device buffer rather
+        # than a per-executable embedded constant (67 MB per stage
+        # executable at 4096² unbinned — the round-3 HBM exhaustion;
+        # at that scale the gather is XLA-routed anyway, so nothing is
+        # lost kernel-wise).
+        # Large grids additionally switch to the *quarter-grid* map: power
+        # is distributed on the per-axis folded grid (axis length n//2+1)
+        # and mirror-expanded with pure slice/flip/concat — 2^d-fold less
+        # gather/scatter work in every metric matvec, and the expansion's
+        # autodiff transpose is a gather-free slice+add fold.
+        use_quarter = tuple(
+            getattr(g.harmonic_grid, "power_distributor_quarter", None)
+            is not None
+            and np.asarray(g.harmonic_grid.power_distributor).nbytes
+            >= self.RUNTIME_DIST_MIN_BYTES
+            for g in grids
         )
+        distributors = tuple(
+            np.asarray(
+                g.harmonic_grid.power_distributor_quarter if uq
+                else g.harmonic_grid.power_distributor
+            )
+            for g, uq in zip(grids, use_quarter)
+        )
+        as_runtime = tuple(
+            d.nbytes >= self.RUNTIME_DIST_MIN_BYTES for d in distributors
+        )
+        consts = {
+            f"power_distributor_{i}": jnp.asarray(d)
+            for i, (d, r) in enumerate(zip(distributors, as_runtime)) if r
+        } or None
 
-        def outer_amplitude(p, scale=None):
+        def resolve_distributors(c):
+            return tuple(
+                c[f"power_distributor_{i}"] if r else d
+                for i, (d, r) in enumerate(zip(distributors, as_runtime))
+            )
+
+        def distribute_subgrid(t, dist, g, uq):
+            amp = distribute_power(t, dist)
+            if uq:
+                for ax, n in enumerate(g.harmonic_grid.shape):
+                    amp = _mirror_expand(amp, ax, n)
+            return amp
+
+        def outer_amplitude(dists, p, scale=None):
             # The zero-mode scalar multiplies the *small* amplitude table
             # before distribution: `azm * gather(t) == gather(azm * t)`
             # bitwise (identical per-element products), it saves one
@@ -693,15 +781,19 @@ class CorrelatedFieldMaker:
             t0 = namps[0](p)
             if scale is not None:
                 t0 = scale * t0
-            outer = distribute_power(t0, distributors[0])
-            for amp, dist in zip(namps[1:], distributors[1:]):
+            outer = distribute_subgrid(t0, dists[0], grids[0], use_quarter[0])
+            for amp, dist, g, uq in zip(
+                namps[1:], dists[1:], grids[1:], use_quarter[1:]
+            ):
                 outer = jnp.tensordot(
-                    outer, distribute_power(amp(p), dist), axes=0
+                    outer, distribute_subgrid(amp(p), dist, g, uq), axes=0
                 )
             return outer
 
-        def correlated_field(p):
-            ea = outer_amplitude(p, scale=azm(p))
+        def correlated_field(*args):
+            c, p = args if consts is not None else (None, *args)
+            dists = resolve_distributors(c) if c is not None else distributors
+            ea = outer_amplitude(dists, p, scale=azm(p))
             cf_h = ea * p[pfx]
             return offset_mean + outer_harmonic_transform(cf_h)
 
@@ -727,12 +819,17 @@ class CorrelatedFieldMaker:
                 self._parameter_tree[pfx].dtype,
             )
 
-            def field_one(pset, xi):
-                ea = outer_amplitude(pset, scale=azm(pset))
-                cf_h = ea * xi
-                return offset_mean + outer_harmonic_transform(cf_h)
+            def batched_field(*args):
+                c, p = args if consts is not None else (None, *args)
+                dists = (
+                    resolve_distributors(c) if c is not None else distributors
+                )
 
-            def batched_field(p):
+                def field_one(pset, xi):
+                    ea = outer_amplitude(dists, pset, scale=azm(pset))
+                    cf_h = ea * xi
+                    return offset_mean + outer_harmonic_transform(cf_h)
+
                 psets = {k: p[k][dofdex_arr] for k in param_keys}
                 return jax.vmap(field_one)(psets, p[pfx])
 
@@ -740,7 +837,10 @@ class CorrelatedFieldMaker:
                 k: partial(random_like, primals=v)
                 for k, v in batched_tree.items()
             }
-            cf = Model(batched_field, domain=dict(batched_tree), init=init)
+            cf = Model(
+                batched_field, domain=dict(batched_tree), init=init,
+                consts=consts,
+            )
             cf.normalized_amplitudes = namps
             cf.target_grids = grids
             return cf
@@ -750,7 +850,8 @@ class CorrelatedFieldMaker:
             for k, v in self._parameter_tree.items()
         }
         cf = Model(
-            correlated_field, domain=dict(self._parameter_tree), init=init
+            correlated_field, domain=dict(self._parameter_tree), init=init,
+            consts=consts,
         )
         cf.normalized_amplitudes = namps
         cf.target_grids = grids

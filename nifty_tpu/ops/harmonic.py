@@ -132,6 +132,38 @@ def fourier_mode_lengths(shape, distances) -> np.ndarray:
     return np.sqrt(m2)
 
 
+def fourier_mode_index_quarter(shape, distances, unique_lengths) -> np.ndarray:
+    """Power-distributor index map on the per-axis *folded* quarter grid.
+
+    ``|k|`` depends on each fft-ordered axis index ``i`` only through
+    ``min(i, n - i)``, so the full-grid map factorizes exactly:
+    ``idx_full[i0, i1, ...] = idx_q[fold(i0), fold(i1), ...]`` with the
+    quarter axis of length ``n//2 + 1``.  On large grids the correlated
+    field distributes power on the quarter grid and mirror-expands with
+    pure slice/flip/concat (no gather; the transpose is a slice+add fold)
+    — 4× (2^d×) less gather/scatter work and a 4× smaller index map than
+    the full-grid route.  ``unique_lengths`` must be the (deduplicated)
+    table from :func:`fourier_mode_distributor` so indices agree with the
+    full map bit-for-bit.
+    """
+    shape = (shape,) if isinstance(shape, int) else tuple(shape)
+    distances = np.broadcast_to(
+        np.asarray(distances, dtype=np.float64), (len(shape),)
+    )
+    mspc_dist = 1.0 / (np.array(shape) * distances)
+    q_shape = tuple(n // 2 + 1 for n in shape)
+    m2 = np.zeros(q_shape, dtype=np.float64)
+    for i, (n, d) in enumerate(zip(shape, mspc_dist)):
+        k = np.arange(n // 2 + 1, dtype=np.float64) * d
+        sl = [None] * len(shape)
+        sl[i] = slice(None)
+        m2 = m2 + (k ** 2)[tuple(sl)]
+    mq = np.sqrt(m2)
+    um = np.asarray(unique_lengths)
+    binbounds = 0.5 * (um[:-1] + um[1:])
+    return np.searchsorted(binbounds, mq).astype(np.int32)
+
+
 def fourier_mode_distributor(shape, distances):
     """Unique mode lengths, bin index per mode, and bin multiplicity.
 

@@ -2,20 +2,27 @@
 
 The reference wraps the ducc0 C++ wgridder/nufft
 (``src/library/nft.py:63,94,111`` ``dirty2ms``/``ms2dirty``,
-``nu2u``/``u2nu``).  TPU-native design (Dutt–Rokhlin/Greengard–Lee
-Gaussian-kernel NUFFT):
+``nu2u``/``u2nu``).  TPU-native design:
 
+- the spreading kernel is ducc/FINUFFT's **exp-of-semicircle (ES)**
+  kernel ``phi(t) = exp(beta (sqrt(1-t^2) - 1))`` — near-optimal decay
+  per width; the image-domain deconvolution factors are its numerically
+  quadratured Fourier transform (no closed form needed);
 - type 2 (uniform → non-uniform): zero-pad to a σ-oversampled grid,
-  deconvolve by the kernel's Fourier factors, FFT, then *gather* a W^d
-  window per target point with Gaussian weights (a vmapped batched
-  gather + weighted reduction);
+  deconvolve, FFT, then *gather* a W^d window per target point with ES
+  weights (a vmapped batched gather + weighted reduction — XLA batches
+  the W^d windows across points);
 - type 1 (adjoint): the exact vjp of type 2 — the gather becomes an XLA
   scatter-add — so the operator pair passes adjointness tests by
-  construction.
+  construction.  :class:`RadioResponse` additionally pre-sorts its
+  (static) uv coordinates by grid cell so the scatter indices are
+  memory-ordered.
 
-Accuracy is set by the spreading width ``W`` (≈ 1e-7 relative at W=8,
-σ=2 with the Gaussian kernel); w-term correction (wgridder) is handled by
-w-stacking in :class:`RadioResponse` when ``w`` values are provided.
+Accuracy is set by the spreading width ``W``: the ES error scales as
+``exp(-pi W sqrt(1 - 1/sigma))`` — at σ=2 roughly ``10^{-W}``-ish:
+~1e-7 at W=8 (f32 regime), ~1e-13 at W=16 (f64 regime).  The w-term
+(wgridder) is handled by w-stacking in :class:`RadioResponse` when ``w``
+values are provided.
 """
 
 from __future__ import annotations
@@ -28,20 +35,41 @@ from ..model import Model
 from ..tree import ShapeWithDtype
 
 
-def _kernel_params(n: int, sigma: float, width: int):
-    n_os = int(np.round(sigma * n))
-    # Greengard & Lee 2004: tau = pi * (W/2) / (n^2 sigma (sigma - 0.5))
-    tau = np.pi * (width / 2.0) / (n ** 2 * sigma * (sigma - 0.5))
-    return n_os, tau
+def _es_beta(sigma: float, width: int) -> float:
+    """ES kernel sharpness.  FINUFFT's tuned choice: ``2.30 W`` at σ=2,
+    ``pi W (1 - 1/(2σ)) * 0.976`` in general (Barnett, Magland &
+    af Klinteberg 2019, §3)."""
+    if abs(sigma - 2.0) < 1e-12:
+        return 2.30 * width
+    return np.pi * width * (1.0 - 1.0 / (2.0 * sigma)) * 0.976
 
 
-def _deconv_factors(n: int, n_os: int, tau: float):
-    """Fourier-domain correction 1/ĝ for the Gaussian spreading kernel,
-    on the *centered* image axis of length n."""
-    k = np.arange(n) - n // 2
-    # e^{tau k^2} undoes the kernel's Fourier decay; sqrt(pi/tau)/Mr is
-    # the quadrature normalization of the spreading convolution.
-    return np.exp(tau * k.astype(float) ** 2) * np.sqrt(np.pi / tau) / n_os
+def _es_phi(t, beta: float):
+    """ES kernel on the normalized support ``|t| <= 1`` (0 outside)."""
+    arg = jnp.maximum(1.0 - t * t, 0.0)
+    return jnp.where(
+        jnp.abs(t) <= 1.0, jnp.exp(beta * (jnp.sqrt(arg) - 1.0)), 0.0
+    )
+
+
+def _deconv_factors(n: int, n_os: int, width: int, beta: float):
+    """Image-domain correction ``1 / psi_hat(x / n_os)`` for the ES
+    spreading kernel, on the centered image axis of length ``n``.
+
+    ``psi_hat(xi) = W \\int_0^1 phi(t) cos(pi W xi t) dt`` (kernel even);
+    evaluated with 64-node Gauss-Legendre quadrature — exact to f64
+    rounding for these smooth integrands.
+    """
+    t, q = np.polynomial.legendre.leggauss(64)
+    # map nodes to [0, 1]
+    t = 0.5 * (t + 1.0)
+    q = 0.5 * q
+    phi = np.exp(beta * (np.sqrt(np.maximum(1.0 - t * t, 0.0)) - 1.0))
+    x = (np.arange(n) - n // 2).astype(float) / n_os
+    psi_hat = width * np.cos(
+        np.pi * width * x[:, None] * t[None, :]
+    ) @ (q * phi)
+    return 1.0 / psi_hat
 
 
 def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8):
@@ -55,14 +83,13 @@ def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8):
     shape = image.shape
     d = len(shape)
     coords = jnp.asarray(coords)
-    params = [_kernel_params(n, sigma, width) for n in shape]
-    n_os = [p[0] for p in params]
-    taus = [p[1] for p in params]
+    n_os = [int(np.round(sigma * n)) for n in shape]
+    beta = _es_beta(sigma, width)
 
     # Deconvolution + zero-pad to the oversampled grid (centered).
     corr = image
     for ax, n in enumerate(shape):
-        f = jnp.asarray(_deconv_factors(n, n_os[ax], taus[ax]))
+        f = jnp.asarray(_deconv_factors(n, n_os[ax], width, beta))
         corr = corr * f.reshape([-1 if a == ax else 1 for a in range(d)])
     pad = [((no - n) // 2, no - n - (no - n) // 2) for n, no in zip(shape, n_os)]
     padded = jnp.pad(corr, pad)
@@ -71,6 +98,7 @@ def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8):
 
     # Gather W^d window around each target (on the oversampled circle).
     offs = jnp.arange(width) - width // 2 + 1
+    half = width / 2.0
 
     def interp_point(f):
         idx = []
@@ -81,14 +109,12 @@ def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8):
             i0 = jnp.floor(x).astype(jnp.int32)
             ii = (i0 + offs) % n_os[ax]
             dx = x - (i0 + offs)
-            # spreading kernel in the *frequency* domain of the os grid
-            w = jnp.exp(-(dx * 2.0 * np.pi / n_os[ax]) ** 2 / (4.0 * taus[ax]))
             idx.append(ii)
-            wgt.append(w)
+            wgt.append(_es_phi(dx / half, beta))
         if d == 1:
             return jnp.sum(g[idx[0]] * wgt[0])
         if d == 2:
-            sub = g[jnp.ix_(idx[0], idx[1])] if False else g[idx[0][:, None], idx[1][None, :]]
+            sub = g[idx[0][:, None], idx[1][None, :]]
             return jnp.sum(sub * (wgt[0][:, None] * wgt[1][None, :]))
         if d == 3:
             sub = g[idx[0][:, None, None], idx[1][None, :, None], idx[2][None, None, :]]
@@ -133,20 +159,53 @@ class RadioResponse(Model):
         if pixsize is not None:
             # uv in wavelengths -> cycles per image extent
             uv = uv * np.asarray(pixsize) * np.asarray(self._shape)
-        self._uv = jnp.asarray(uv)
-        self._sigma, self._width = sigma, width
+        # Pre-sort visibilities by their base grid cell (row-major on the
+        # oversampled grid): the window gathers of neighboring points then
+        # touch neighboring memory, and — more importantly — the adjoint's
+        # scatter-add (the vjp of the forward gather) sees monotonically
+        # ordered indices, the layout ducc's sorted-bin gridder engineers
+        # explicitly (src/library/nft.py:63).  The output is un-permuted
+        # at the end, so sorting is invisible to callers.
+        # Pre-sort visibilities: primarily by w-plane (when a w column is
+        # given), secondarily by base grid cell (row-major on the
+        # oversampled grid).  Cell ordering makes the window gathers of
+        # neighboring points touch neighboring memory and — more
+        # importantly — gives the adjoint's scatter-add (the vjp of the
+        # forward gather) monotonically ordered indices, the layout
+        # ducc's sorted-bin gridder engineers explicitly
+        # (src/library/nft.py:63).  w-plane ordering makes each plane a
+        # *contiguous static slice*, so w-stacking spreads every point
+        # exactly once (one FFT per plane, not one full NUFFT per plane).
+        # The output is un-permuted at the end; sorting is invisible to
+        # callers.
+        cell = np.floor(uv * sigma).astype(np.int64)
+        sort_keys = [cell[:, ax] for ax in range(cell.shape[1] - 1, -1, -1)]
         self._w = None
         if w is not None:
+            if pixsize is None:
+                raise ValueError("w-correction requires `pixsize`")
             w = np.asarray(w, dtype=float)
             n_w_planes = max(1, min(n_w_planes, len(np.unique(w))))
             w_edges = np.linspace(w.min(), w.max() + 1e-12, n_w_planes + 1)
-            self._w_idx = jnp.asarray(
-                np.clip(np.digitize(w, w_edges) - 1, 0, n_w_planes - 1)
+            w_idx = np.clip(np.digitize(w, w_edges) - 1, 0, n_w_planes - 1)
+            sort_keys = sort_keys + [w_idx]
+        self._sort = np.lexsort(tuple(sort_keys))
+        self._unsort = jnp.asarray(np.argsort(self._sort))
+        uv = uv[self._sort]
+        self._uv = jnp.asarray(uv)
+        self._sigma, self._width = sigma, width
+        if w is not None:
+            w_idx = w_idx[self._sort]
+            # per-plane contiguous [start, stop) ranges — static ints
+            self._w_slices = tuple(
+                (int(a), int(b))
+                for a, b in zip(
+                    np.searchsorted(w_idx, np.arange(n_w_planes)),
+                    np.searchsorted(w_idx, np.arange(n_w_planes) + 1),
+                )
             )
             self._w_centers = 0.5 * (w_edges[:-1] + w_edges[1:])
             ls = [np.arange(n) - n // 2 for n in self._shape]
-            if pixsize is None:
-                raise ValueError("w-correction requires `pixsize`")
             lm = np.meshgrid(
                 *[l * p for l, p in zip(ls, np.atleast_1d(pixsize) * np.ones(2))],
                 indexing="ij",
@@ -163,12 +222,18 @@ class RadioResponse(Model):
 
     def __call__(self, image):
         if self._w is None:
-            return nufft2(image, self._uv, sigma=self._sigma, width=self._width)
-        out = jnp.zeros((self._uv.shape[0],), dtype=jnp.complex128
-                        if image.dtype == jnp.float64 else jnp.complex64)
-        for p, wc in enumerate(self._w_centers):
+            vis = nufft2(image, self._uv, sigma=self._sigma, width=self._width)
+            return vis[self._unsort]
+        parts = []
+        for (a, b), wc in zip(self._w_slices, self._w_centers):
+            if a == b:
+                continue
+            # phase screen for this plane's central w, applied in the
+            # image domain (wgridder w-stacking; src/library/nft.py:63)
             screen = jnp.exp(-2j * np.pi * wc * self._n_term)
-            vis_p = nufft2(image * screen, self._uv, sigma=self._sigma,
-                           width=self._width)
-            out = jnp.where(self._w_idx == p, vis_p, out)
-        return out
+            parts.append(
+                nufft2(image * screen, self._uv[a:b], sigma=self._sigma,
+                       width=self._width)
+            )
+        vis = jnp.concatenate(parts, axis=0)
+        return vis[self._unsort]

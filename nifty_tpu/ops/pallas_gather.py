@@ -35,7 +35,9 @@ primitive lowers to the plain XLA gather/segment-sum.
 
 from __future__ import annotations
 
+import hashlib
 import os
+from collections import OrderedDict
 
 import jax
 import jax.extend
@@ -730,9 +732,20 @@ def _scatter_batching_rule(args, dims, *, nb, batched_idx=False):
         idx = jnp.moveaxis(idx, idim, 0)  # (Bv, *ish)
         bv = idx.shape[0]
         if batched_idx:
-            raise NotImplementedError(
-                "re-batched per-batch index maps in scatter"
+            # re-batched per-batch index maps: idx (Bv, B, *event) — fold
+            # (Bv, B) into one batch axis, pairing each combination with
+            # its cotangent row (mirrors the gather rule's fallback).
+            b0 = idx.shape[1]
+            if cdim is not None:
+                cot = jnp.moveaxis(cot, cdim, 0)  # (Bv, B, *event)
+            else:
+                cot = jnp.broadcast_to(cot[None], (bv,) + cot.shape)
+            out = bin_scatter_p.bind(
+                cot.reshape((bv * b0,) + cot.shape[2:]),
+                idx.reshape((bv * b0,) + idx.shape[2:]),
+                nb=nb, batched_idx=True,
             )
+            return out.reshape(bv, b0, nb), 0
         offs = jnp.arange(bv, dtype=idx.dtype) * nb
         offs = offs.reshape((bv,) + (1,) * (idx.ndim - 1))
         idx_off = idx + offs
@@ -795,43 +808,59 @@ mlir.register_lowering(
 
 
 class StaticIndexMap:
-    """Host index array as a hashable primitive parameter."""
+    """Host index array as a hashable primitive parameter.
 
-    __slots__ = ("arr", "_hash")
+    Hash and equality both derive from the array *content* (a blake2b
+    digest of the raw bytes plus shape/dtype), so two wrappers built from
+    equal arrays are interchangeable in JAX's param-keyed trace caches —
+    equal implies equal hash at any size.  The digest is computed once at
+    construction (~10 ms per 100 MB), which only happens per distinct map.
+    """
+
+    __slots__ = ("arr", "_digest", "_hash")
 
     def __init__(self, arr):
-        arr = np.asarray(arr)
-        if arr.flags.writeable:
-            arr = arr.copy()
-            arr.setflags(write=False)
+        arr = np.ascontiguousarray(arr)
+        arr.setflags(write=False)
         self.arr = arr
-        digest = (
-            arr.tobytes() if arr.size <= 65536 else (id(arr), arr.size)
-        )
-        self._hash = hash((arr.shape, arr.dtype.str, digest))
+        h = hashlib.blake2b(digest_size=16)
+        h.update(arr.view(np.uint8).reshape(-1).data)
+        self._digest = (arr.shape, arr.dtype.str, h.digest())
+        self._hash = hash(self._digest)
 
     def __hash__(self):
         return self._hash
 
     def __eq__(self, other):
-        return isinstance(other, StaticIndexMap) and (
-            self.arr is other.arr or np.array_equal(self.arr, other.arr)
+        if not isinstance(other, StaticIndexMap):
+            return NotImplemented
+        if self.arr is other.arr:
+            return True
+        return self._digest == other._digest and np.array_equal(
+            self.arr, other.arr
         )
 
 
-#: id-keyed wrapper cache: models re-trace with the same host index
-#: array object; reusing the wrapper keeps hashes stable and avoids
-#: re-copying multi-MB maps.
-_STATIC_IDX_CACHE: dict = {}
+#: Bounded id-keyed wrapper cache: models re-trace with the same host
+#: index array object; reusing the wrapper skips the content digest and
+#: avoids re-copying multi-MB maps.  LRU-bounded so user code feeding a
+#: stream of distinct concrete index arrays cannot grow it without limit
+#: (runtime-varying index maps should be passed as traced jnp arrays,
+#: which bypass this path entirely).
+_STATIC_IDX_CACHE: "OrderedDict" = OrderedDict()
+_STATIC_IDX_CACHE_MAX = 128
 
 
 def _as_static_idx(arr) -> "StaticIndexMap":
     key = id(arr)
     hit = _STATIC_IDX_CACHE.get(key)
     if hit is not None and hit[0] is arr:
+        _STATIC_IDX_CACHE.move_to_end(key)
         return hit[1]
     wrapped = StaticIndexMap(np.asarray(arr))
     _STATIC_IDX_CACHE[key] = (arr, wrapped)
+    while len(_STATIC_IDX_CACHE) > _STATIC_IDX_CACHE_MAX:
+        _STATIC_IDX_CACHE.popitem(last=False)
     return wrapped
 
 
@@ -960,6 +989,18 @@ def distribute_power(table, idx):
     from .. import config as _config
 
     if isinstance(idx, jax.core.Tracer):
+        # Traced index maps (models carrying the distributor as a runtime
+        # `consts` leaf — the memory-safe route for grid-sized maps) still
+        # get the TPU kernels via the *dynamic* primitive whenever the
+        # table qualifies; and in deterministic mode the primitive's
+        # fixed-association scatter transpose keeps the mesh-independence
+        # promise (XLA's autodiff scatter-add would not).
+        if table.ndim == 1 and (
+            _use_pallas(table.shape[0])
+            or _use_mxu(table.shape[0], idx.size, table.dtype, False)
+            or _config.get("deterministic_reductions")
+        ):
+            return bin_gather(table, idx)
         return table[idx]
     if table.ndim == 1 and (
         _use_pallas(table.shape[0])

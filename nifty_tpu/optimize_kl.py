@@ -93,32 +93,56 @@ class _StandardHamiltonian(LazyModel):
         return tree_map(jnp.add, lhm, tangents)
 
 
-def _kl_vg(likelihood, primals, primals_samples, *, map=jax.vmap, reduce=_reduce):
-    """Sample-averaged KL value and gradient (MAP energy when sampleless)."""
+def _mean_energy_and_grad(likelihood, primals, primals_samples, *,
+                          map=jax.vmap, reduce=_reduce):
+    """KL estimate: Hamiltonian value+gradient averaged over the sample
+    batch centered at ``primals`` (plain MAP energy when the batch is
+    empty)."""
     vg = jax.value_and_grad(_StandardHamiltonian(likelihood))
     if not len(primals_samples):
         return vg(primals)
-    xs = primals_samples.at(primals).samples
-    return reduce(get_map(map)(vg)(xs))
+    batch = primals_samples.at(primals).samples
+    return reduce(get_map(map)(vg)(batch))
 
 
-def _kl_met(likelihood, primals, tangents, primals_samples, *, map=jax.vmap,
-            reduce=_reduce):
-    """Sample-averaged Fisher-metric application along ``tangents``."""
+def _mean_metric(likelihood, primals, tangents, primals_samples, *,
+                 map=jax.vmap, reduce=_reduce):
+    """Batch-averaged Fisher-metric application along ``tangents``."""
     met = _StandardHamiltonian(likelihood).metric
     if not len(primals_samples):
         return met(primals, tangents)
-    xs = primals_samples.at(primals).samples
-    return reduce(get_map(map)(met, in_axes=(0, None))(xs, tangents))
+    batch = primals_samples.at(primals).samples
+    return reduce(get_map(map)(met, in_axes=(0, None))(batch, tangents))
+
+
+# Short internal aliases kept for test/demo imports.
+_kl_vg = _mean_energy_and_grad
+_kl_met = _mean_metric
 
 
 @jax.jit
-def concatenate_zip(*arrays):
-    """Interleave stacked trees: (a1,a2..), (b1,b2..) -> (a1,b1,a2,b2,..)."""
-    return tree_map(
-        lambda *x: jnp.stack(x, axis=1).reshape((-1,) + x[0].shape[1:]),
-        *arrays,
-    )
+def interleave(*trees):
+    """Round-robin merge of equally-shaped stacked pytrees along axis 0.
+
+    ``interleave(p, m)`` with ``p = (p0, p1, ...)`` and ``m = (m0, m1, ...)``
+    yields ``(p0, m0, p1, m1, ...)``.  Used to store each antithetic
+    residual next to its mirrored partner so that a mapped update sees the
+    pair at adjacent batch slots.  Pure layout change — XLA lowers the
+    widen-and-collapse below to a copy, no gather is emitted.
+    """
+    n_way = len(trees)
+
+    def leaf(*xs):
+        per, *rest = xs[0].shape
+        widened = jnp.concatenate([x[:, None] for x in xs], axis=1)
+        return widened.reshape((n_way * per, *rest))
+
+    return tree_map(leaf, *trees)
+
+
+#: Backwards-compatible alias (the reference API calls this operation
+#: ``concatenate_zip``, ``src/re/optimize_kl.py:123``).
+concatenate_zip = interleave
 
 
 @dataclasses.dataclass(frozen=True)
@@ -158,10 +182,10 @@ def _recenter_and_slim(samples, res: OptimizeResults):
 def _mirror_tags(keys):
     """Per-sample (key, sign) tags for an antithetic batch: every stored key
     appears twice, once with sign +1 and once with sign -1, in the same
-    interleaved order `concatenate_zip` stores the residual pairs."""
-    twice = concatenate_zip(keys, keys)
+    interleaved order `interleave` stores the residual pairs."""
+    twice = interleave(keys, keys)
     ones = jnp.ones(len(keys))
-    return twice, concatenate_zip(ones, -ones)
+    return twice, interleave(ones, -ones)
 
 
 SMPL_MODE_TYP = Literal[
@@ -242,30 +266,31 @@ class OptimizeVIState(NamedTuple):
 
 
 def get_status_message(samples, state, residual=None, *, name="", map="vmap") -> str:
-    energy = state.minimization_state.fun
-    msg_smpl = ""
-    if isinstance(state.sample_state, OptimizeResults):
-        nlsi = tuple(int(el) for el in np.atleast_1d(state.sample_state.nit))
-        msg_smpl = f"\n{name}: #(Nonlinear sampling steps) {nlsi}"
-    elif isinstance(state.sample_state, (np.ndarray, jax.Array)):
-        nlsi = tuple(int(el) for el in np.atleast_1d(state.sample_state))
-        msg_smpl = f"\n{name}: Linear sampling status {nlsi}"
-        if any(el < 0 for el in nlsi):
-            msg_smpl += (
-                f"\n{name}: WARNING metric CG failed (negative status: "
-                "non-positive-definite metric or NaN energy)"
+    """End-of-iteration report: KL energy, solver step counts and status,
+    and minisanity residual tables (data space + latent space)."""
+    opt = state.minimization_state
+    lines = [
+        f"{name}: iter {state.nit:04d}  KL energy {float(opt.fun):+.4e}"
+        f"  ({int(opt.nit)} Newton-CG step(s))"
+    ]
+    sampler_st = state.sample_state
+    if isinstance(sampler_st, OptimizeResults):
+        counts = [int(c) for c in np.atleast_1d(sampler_st.nit)]
+        lines.append(f"{name}: geoVI curve steps per sample {counts}")
+    elif isinstance(sampler_st, (np.ndarray, jax.Array)):
+        codes = [int(c) for c in np.atleast_1d(sampler_st)]
+        lines.append(f"{name}: linear-draw CG status per sample {codes}")
+        if min(codes) < 0:
+            lines.append(
+                f"{name}: WARNING metric CG reported failure (negative "
+                "status: non-positive-definite metric or NaN energy)"
             )
-    mini_res = ""
     if residual is not None:
-        _, mini_res = minisanity(samples, residual, map=map)
-    _, mini_pr = minisanity(samples, map=map)
-    return (
-        f"{name}: Iteration {state.nit:04d} ⛰:{float(energy):+2.4e}"
-        f"{msg_smpl}"
-        f"\n{name}: #(KL minimization steps) {int(state.minimization_state.nit)}"
-        f"\n{name}: Likelihood residual(s):\n{mini_res}"
-        f"\n{name}: Prior residual(s):\n{mini_pr}\n"
-    )
+        _, tbl = minisanity(samples, residual, map=map)
+        lines.append(f"{name}: data-space residuals\n{tbl}")
+    _, tbl = minisanity(samples, map=map)
+    lines.append(f"{name}: latent-space residuals\n{tbl}")
+    return "\n".join(lines) + "\n"
 
 
 def _check_sampling_status(sample_state, draw_linear_kwargs) -> None:
@@ -325,6 +350,11 @@ class OptimizeVI:
     #: the memory knob *and* faster once per-sample solves dominate.
     AUTO_SMAP_MIN_SIZE = 2**22
 
+    #: Likelihood array-leaf bytes at/above which compiled stages take the
+    #: likelihood as a runtime argument (shared device buffers) instead of
+    #: baking its arrays into each executable as constants.
+    LH_AS_ARG_MIN_BYTES = 8 * 2**20
+
     def __init__(
         self, likelihood: Likelihood, n_total_iterations: int, *,
         kl_jit=True, residual_jit=True, kl_map="auto",
@@ -358,12 +388,27 @@ class OptimizeVI:
         self._residual_jit = _parse_jit(residual_jit)
         self._cache = {}
 
+        # Above this many bytes of array leaves, the likelihood becomes a
+        # *call-time argument* of every compiled stage: its data, noise
+        # models, and model constants (power-distributor index maps, ...)
+        # then enter XLA as runtime device buffers shared across all stage
+        # executables instead of being embedded into each one as multi-MB
+        # constants (which at 4096² scale exhausts HBM).  Small models
+        # keep the constant-baking path: identical values folded into
+        # every program give XLA maximal freedom and the tightest
+        # cross-mesh reproducibility (tests/test_parallel.py).
+        self._lh_as_arg = (
+            sum(
+                np.size(x) * np.dtype(getattr(x, "dtype", np.float32)).itemsize
+                for x in jax.tree_util.tree_leaves(likelihood)
+            )
+            >= self.LH_AS_ARG_MIN_BYTES
+        )
+
         self.kl_value_and_grad = partial(
-            _kl_vg, likelihood, map=kl_map, reduce=kl_reduce
+            _mean_energy_and_grad, map=kl_map, reduce=kl_reduce
         )
-        self.kl_metric = partial(
-            _kl_met, likelihood, map=kl_map, reduce=kl_reduce
-        )
+        self.kl_metric = partial(_mean_metric, map=kl_map, reduce=kl_reduce)
         if _get_status_message is None:
             _get_status_message = partial(
                 get_status_message,
@@ -380,36 +425,58 @@ class OptimizeVI:
             self._cache[key] = fn
         return fn
 
+    def _stage(self, jit, run: Callable) -> Callable:
+        """Compile a stage function ``run(likelihood, ...)``.
+
+        Big likelihoods (see ``LH_AS_ARG_MIN_BYTES``) keep the likelihood
+        as a runtime argument; small ones bake it into the executable as
+        constants.  Either way the returned callable is invoked as
+        ``fn(likelihood, ...)``.
+        """
+        if self._lh_as_arg:
+            return jit(run)
+        baked = jit(partial(run, self.likelihood))
+        return lambda _lh, *args: baked(*args)
+
     # -- sampling ---------------------------------------------------------
 
     def draw_linear_samples(self, primals, keys, **kwargs):
         def build(**cfg):
-            sampler = partial(draw_linear_residual, self.likelihood, **cfg)
-            return self._residual_jit(
-                self.residual_map(sampler, in_axes=(None, 0))
+            mapped = self.residual_map(
+                partial(draw_linear_residual, **cfg), in_axes=(None, None, 0)
             )
 
+            def run(lh, primals, keys):
+                return mapped(lh, primals, keys)
+
+            return self._stage(self._residual_jit, run)
+
         sampler = self._compiled("draw_linear", build, kwargs)
-        smpls, smpls_states = sampler(primals, keys)
+        smpls, smpls_states = sampler(self.likelihood, primals, keys)
         # Interleave each sample with its mirrored (antithetic) partner.
         neg = tree_map(jnp.negative, smpls)
         smpls = Samples(
-            pos=primals, samples=concatenate_zip(smpls, neg), keys=keys
+            pos=primals, samples=interleave(smpls, neg), keys=keys
         )
         return smpls, smpls_states
 
     def nonlinearly_update_samples(self, samples: Samples, **kwargs):
         def build(**cfg):
-            curver = partial(nonlinearly_update_residual, self.likelihood, **cfg)
-            return self._residual_jit(
-                self.residual_map(curver, in_axes=(None, 0, 0, 0))
+            mapped = self.residual_map(
+                partial(nonlinearly_update_residual, **cfg),
+                in_axes=(None, None, 0, 0, 0),
             )
+
+            def run(lh, pos, smpls, tag_keys, tag_signs):
+                return mapped(lh, pos, smpls, tag_keys, tag_signs)
+
+            return self._stage(self._residual_jit, run)
 
         curver = self._compiled("nonlinear_update", build, kwargs)
         assert len(samples.keys) == len(samples) // 2
         tag_keys, tag_signs = _mirror_tags(samples.keys)
         smpls, smpls_states = curver(
-            samples.pos, samples._samples, tag_keys, tag_signs
+            self.likelihood, samples.pos, samples._samples, tag_keys, tag_signs
         )
         smpls = Samples(pos=samples.pos, samples=smpls, keys=samples.keys)
         return smpls, smpls_states
@@ -450,24 +517,24 @@ class OptimizeVI:
         minimize_kwargs={}, **kwargs,
     ) -> OptimizeResults:
         def build(minimize=minimize, **cfg):
-            def run(smpls):
+            def run(lh, smpls):
                 return minimize(
                     None,
                     x0=smpls.pos,
                     fun_and_grad=partial(
-                        self.kl_value_and_grad, primals_samples=smpls
+                        self.kl_value_and_grad, lh, primals_samples=smpls
                     ),
-                    hessp=partial(self.kl_metric, primals_samples=smpls),
+                    hessp=partial(self.kl_metric, lh, primals_samples=smpls),
                     **cfg.get("minimize_kwargs", {}),
                 )
 
-            return self._kl_jit(run)
+            return self._stage(self._kl_jit, run)
 
         runner = self._compiled(
             "kl_minimize", build,
             dict(minimize=minimize, minimize_kwargs=minimize_kwargs, **kwargs),
         )
-        return runner(samples)
+        return runner(self.likelihood, samples)
 
     # -- driver -----------------------------------------------------------
 
@@ -517,7 +584,7 @@ class OptimizeVI:
         minimize = kl_kwargs.pop("minimize", _newton_cg)
         minimize_kwargs = kl_kwargs.pop("minimize_kwargs", {})
 
-        def step(samples: Samples, key):
+        def step(lh, samples: Samples, key):
             key, sk = random.split(key, 2)
             st_smpls = jnp.zeros(())
             if plan is not None and plan.draw:
@@ -525,28 +592,28 @@ class OptimizeVI:
                 if plan.fresh_keys:
                     k_smpls = random.split(sk, n_samples)
                 sampler = partial(
-                    draw_linear_residual, self.likelihood,
+                    draw_linear_residual,
                     point_estimates=point_estimates, **draw_linear_kwargs,
                 )
                 smpls, st_smpls = self.residual_map(
-                    sampler, in_axes=(None, 0)
-                )(samples.pos, k_smpls)
+                    sampler, in_axes=(None, None, 0)
+                )(lh, samples.pos, k_smpls)
                 neg = tree_map(jnp.negative, smpls)
                 samples = Samples(
                     pos=samples.pos,
-                    samples=concatenate_zip(smpls, neg),
+                    samples=interleave(smpls, neg),
                     keys=k_smpls,
                 )
             if plan is not None and plan.curve:
                 curver = partial(
-                    nonlinearly_update_residual, self.likelihood,
+                    nonlinearly_update_residual,
                     point_estimates=point_estimates,
                     **nonlinearly_update_kwargs,
                 )
                 tag_keys, tag_signs = _mirror_tags(samples.keys)
                 smpls, st_smpls = self.residual_map(
-                    curver, in_axes=(None, 0, 0, 0)
-                )(samples.pos, samples._samples, tag_keys, tag_signs)
+                    curver, in_axes=(None, None, 0, 0, 0)
+                )(lh, samples.pos, samples._samples, tag_keys, tag_signs)
                 samples = Samples(
                     pos=samples.pos, samples=smpls, keys=samples.keys
                 )
@@ -554,15 +621,15 @@ class OptimizeVI:
                 None,
                 x0=samples.pos,
                 fun_and_grad=partial(
-                    self.kl_value_and_grad, primals_samples=samples
+                    self.kl_value_and_grad, lh, primals_samples=samples
                 ),
-                hessp=partial(self.kl_metric, primals_samples=samples),
+                hessp=partial(self.kl_metric, lh, primals_samples=samples),
                 **minimize_kwargs,
             )
             samples, kl_opt_state = _recenter_and_slim(samples, kl_opt_state)
             return samples, st_smpls, kl_opt_state, key
 
-        return self._kl_jit(step)
+        return self._stage(self._kl_jit, step)
 
     def update(
         self, samples: Samples, state: OptimizeVIState, /,
@@ -599,7 +666,9 @@ class OptimizeVI:
                     kl_kwargs=kl_kwargs,
                 ),
             )
-            samples, st_smpls, kl_opt_state, key = step(samples, key)
+            samples, st_smpls, kl_opt_state, key = step(
+                self.likelihood, samples, key
+            )
             _check_sampling_status(st_smpls, cfg["draw_linear_kwargs"])
             return samples, state._replace(
                 nit=nit + 1,

@@ -29,7 +29,15 @@ from jax import numpy as jnp
 from ..tree import (
     norm as tree_norm,
 )
-from ..tree import result_type, size, tree_axpy, vdot, where, zeros_like
+from ..tree import (
+    det_barrier,
+    result_type,
+    size,
+    tree_axpy,
+    vdot,
+    where,
+    zeros_like,
+)
 
 N_RESET = 20
 
@@ -128,7 +136,9 @@ def _static_cg(
         i = v["nit"] + 1
         prev_gamma, prev_energy = v["gamma"], v["energy"]
 
-        q = mat(d)
+        # det_barrier: pin the matvec's fusion boundary so deterministic
+        # mode is bitwise across meshes (see tree.det_barrier).
+        q = det_barrier(mat(d))
         curv = vdot(d, q).real
         # Non-positive curvature: the quadratic model is unbounded along
         # `d`.  Terminate with the current (partial) solution — or, on the

@@ -31,7 +31,7 @@ from jax import numpy as jnp
 from jax.tree_util import Partial, tree_map
 
 from ..tree import norm as tree_norm
-from ..tree import size, tree_axpy, vdot, where, zeros_like
+from ..tree import det_barrier, size, tree_axpy, vdot, where, zeros_like
 from .cg import _static_cg
 
 _EPS_SHARE = 100.0  # absdelta fallback divisor for the inner CG
@@ -211,7 +211,7 @@ def _newton_cg(
                 None,
             )
             new_pos = tree_axpy(-scale, dd, pos)
-            new_energy, new_g = fun_and_grad(new_pos)
+            new_energy, new_g = det_barrier(fun_and_grad(new_pos))
             new_energy = jnp.where(jnp.isnan(new_energy), jnp.inf, new_energy)
             return {
                 "it": it, "scale": scale, "dd": dd,
@@ -221,7 +221,7 @@ def _newton_cg(
         dd0 = nat_g
         scale0 = jnp.asarray(1.0, dtype=jnp.asarray(energy).dtype)
         new_pos0 = tree_axpy(-scale0, dd0, pos)
-        new_energy0, new_g0 = fun_and_grad(new_pos0)
+        new_energy0, new_g0 = det_barrier(fun_and_grad(new_pos0))
         new_energy0 = jnp.where(jnp.isnan(new_energy0), jnp.inf, new_energy0)
         ls = lax.while_loop(ls_cond, ls_body, {
             "it": jnp.asarray(0), "scale": scale0, "dd": dd0,
@@ -335,4 +335,13 @@ def minimize(
         from .descent import _steepest_descent
 
         return _steepest_descent(fun, x0, **options)
+    if method.startswith("scipy:"):
+        # Host-side scipy bridge, e.g. method="scipy:L-BFGS-B" (parity:
+        # src/minimization/scipy_minimizer.py:134).  Not jit-traceable.
+        from .scipy_bridge import minimize_scipy
+
+        options.pop("xtol", None)
+        return minimize_scipy(
+            fun, x0, method=method.split(":", 1)[1], tol=tol, **options
+        )
     raise ValueError(f"unknown method {method!r}")

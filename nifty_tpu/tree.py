@@ -234,6 +234,23 @@ def tree_scale(a, c):
     return tree_map(lambda x: x * c, a)
 
 
+def det_barrier(val):
+    """Fusion barrier active only under ``deterministic_reductions``.
+
+    Cross-mesh bitwise reproducibility of the iterative solvers requires
+    more than fixed reduction association: XLA fuses the *same* math
+    differently in different program contexts (notably around loop-carry
+    boundaries), and fusion changes FMA contraction — ~1-ulp differences
+    that data-dependent stopping branches then amplify.  Routing each
+    solver stage's outputs through ``lax.optimization_barrier`` pins the
+    fusion boundaries to the stage granularity, at which the computations
+    are measured bitwise across meshes.  A no-op (identity, zero cost)
+    when the flag is off."""
+    if not config.get("deterministic_reductions"):
+        return val
+    return jax.lax.optimization_barrier(val)
+
+
 def tree_axpy(c, x, y):
     """``y + c * x`` leafwise with a (possibly traced) scalar ``c``."""
     return tree_map(lambda xe, ye: ye + c * xe, x, y)

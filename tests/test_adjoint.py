@@ -291,8 +291,8 @@ _LINEAR_MATRIX = {
     "healpix_sht": (_build_hp_sht, F_ALL),
     "los": (_build_los, F_ALL),
     "nufft2": (_build_nufft2, C_ALL),
-    "ski_interp": (_build_ski, F_ALL + [np.complex128]),
-    "bin_gather": (_build_bin_gather, F_ALL + [np.complex128]),
+    "ski_interp": (_build_ski, F_ALL + C_ALL),
+    "bin_gather": (_build_bin_gather, F_ALL + C_ALL),
     "distributed_hartley": (_build_distributed_hartley, [np.float64]),
     "distributed_fftn": (_build_distributed_fftn, [np.complex128]),
     "power_distributor": (_build_power_distributor, F_ALL + C_ALL),
@@ -342,3 +342,89 @@ def test_correlated_field_jacobian_matrix(dtype, key):
                           atol=2e-2, adjoint_rtol=1e-5)
     else:
         extra.check_model(cf, cf.domain, key)
+
+
+# --- reference-grade operator-check legs ------------------------------------
+# inverse round-trip, dtype purity, side-effect purity
+# (parity: /root/reference/src/extra.py:41,156-230,303).
+
+
+def test_fft_inverse_roundtrip(key):
+    extra.check_inverse(fftn, ifftn, _swd((8, 12), np.complex128), key)
+
+
+def test_hartley_inverse_roundtrip(key):
+    # The Hartley transform is its own inverse up to the total mode count.
+    n = 8 * 12
+
+    def inv(x):
+        return hartley(x) / n
+
+    extra.check_inverse(hartley, inv, _swd((8, 12), np.float64), key)
+
+
+def test_solver_inverse_roundtrip(key):
+    """CG as the INVERSE mode of a linear operator: op = (x -> A x) with
+    SPD A; inverse = CG solve.  The analog of the reference's
+    InversionEnabler leg of check_linear_operator."""
+    from nifty_tpu.solvers.cg import static_cg
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(16, 16))
+    a = jnp.asarray(m @ m.T + 16 * np.eye(16))
+
+    def op(x):
+        return a @ x
+
+    def inv(y):
+        x, _ = static_cg(op, y, maxiter=64, resnorm=1e-12)
+        return x
+
+    extra.check_inverse(op, inv, _swd((16,), np.float64), key,
+                        rtol=1e-7, atol=1e-8)
+
+
+@pmp("name", ["hartley", "bin_gather", "dof_distributor"])
+def test_dtype_purity_matrix(name, key):
+    builder, dtypes = _LINEAR_MATRIX[name]
+    real_dtypes = [d for d in dtypes if not np.issubdtype(d, np.complexfloating)]
+    for dt in real_dtypes:
+        fn, dom = builder(dt)
+        extra.check_dtype_purity(fn, dom, key, dtypes=[np.dtype(dt).name])
+
+
+def test_purity_correlated_field(key):
+    cfm = jft.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=0.5, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(
+        (12, 12), distances=1.0 / 12, fluctuations=(1.0, 5e-1),
+        loglogavgslope=(-2.0, 2e-1), flexibility=None, asperity=None,
+    )
+    cf = cfm.finalize()
+    x = cf.init(key)
+    extra.check_purity(cf, x)
+
+
+def test_purity_detects_impure_model(key):
+    state = {"n": 0}
+
+    def impure(x):
+        state["n"] += 1
+        return x * state["n"]
+
+    with pytest.raises(AssertionError):
+        extra.check_purity(impure, jnp.ones((4,)))
+
+
+def test_linear_model_full_legs(key):
+    """One call exercising every optional leg of check_linear_model at
+    once (dtypes sweep + purity + inverse)."""
+    n = 8 * 12
+
+    def inv(x):
+        return hartley(x) / n
+
+    extra.check_linear_model(
+        hartley, _swd((8, 12), np.float64), key,
+        dtypes=[np.float64], assert_purity=True, inverse=inv,
+    )

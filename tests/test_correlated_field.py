@@ -193,3 +193,63 @@ def test_log_binned_power_spectrum():
     p = cf.init(key)
     g = jax.grad(lambda q: jnp.sum(cf(q) ** 2))(p)
     assert all(np.all(np.isfinite(v)) for v in jax.tree_util.tree_leaves(g))
+
+
+def test_quarter_grid_distribution_bitwise(key):
+    """The folded (quarter-grid) power distribution + mirror expansion is
+    bitwise identical to the full-grid gather, for forward and gradient,
+    binned and unbinned, odd and even axes."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    saved = jft.CorrelatedFieldMaker.RUNTIME_DIST_MIN_BYTES
+
+    def build(n_bins):
+        cfm = jft.CorrelatedFieldMaker("cf")
+        cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+        kw = {} if n_bins is None else dict(n_bins=n_bins)
+        cfm.add_fluctuations(
+            (17, 16), distances=1 / 16, fluctuations=(1.0, 0.5),
+            loglogavgslope=(-3.0, 0.2), flexibility=(1.0, 0.5),
+            asperity=(0.5, 0.05), **kw,
+        )
+        return cfm.finalize()
+
+    try:
+        for n_bins in (None, 8):
+            jft.CorrelatedFieldMaker.RUNTIME_DIST_MIN_BYTES = 0  # force quarter
+            cfq = build(n_bins)
+            jft.CorrelatedFieldMaker.RUNTIME_DIST_MIN_BYTES = 1 << 60  # force full
+            cff = build(n_bins)
+            x = cff.init(key)
+            np.testing.assert_array_equal(
+                np.asarray(cfq(x)), np.asarray(cff(x))
+            )
+            # Gradients: the adjoint accumulates mirror contributions in a
+            # different association (slice+add fold vs scatter order) — at
+            # most a few ulp apart, not bitwise.
+            gq = jax.grad(lambda p: jnp.sum(cfq(p) ** 2))(x)
+            gf = jax.grad(lambda p: jnp.sum(cff(p) ** 2))(x)
+            for a, b in zip(jax.tree_util.tree_leaves(gq),
+                            jax.tree_util.tree_leaves(gf)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-13, atol=1e-13
+                )
+    finally:
+        jft.CorrelatedFieldMaker.RUNTIME_DIST_MIN_BYTES = saved
+
+
+def test_quarter_index_factorizes_full_map():
+    """idx_full == idx_q[fold(i0), fold(i1)] exactly (the identity the
+    mirror expansion relies on), odd and even axes."""
+    import numpy as np
+    from nifty_tpu.models.correlated_field import make_grid
+
+    for shape in ((12, 15), (9, 9), (16,)):
+        hg = make_grid(shape, 0.1).harmonic_grid
+        idx_full = np.asarray(hg.power_distributor)
+        idx_q = np.asarray(hg.power_distributor_quarter)
+        folds = [np.minimum(np.arange(n), n - np.arange(n)) for n in shape]
+        expanded = idx_q[np.ix_(*folds)]
+        np.testing.assert_array_equal(idx_full, expanded)

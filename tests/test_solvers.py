@@ -268,3 +268,41 @@ def test_optimize_vi_surfaces_sampling_failure():
     _check_sampling_status(jnp.asarray([-1, 0]), dict())
     # healthy status -> no raise
     _check_sampling_status(jnp.asarray([0, 0]), dict(_raise_nonposdef=True))
+
+
+def test_scipy_bridge_lbfgsb_quadratic_and_rosenbrock():
+    """Host-side scipy L-BFGS-B bridge (parity:
+    /root/reference/src/minimization/scipy_minimizer.py:134) matches the
+    native solvers on the standard test problems, over a pytree domain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nifty_tpu.solvers import minimize, minimize_scipy
+
+    # quadratic over a pytree
+    def quad(x):
+        return (
+            jnp.sum((x["a"] - 1.5) ** 2)
+            + jnp.sum(3.0 * (x["b"] + 0.5) ** 2)
+        )
+
+    x0 = {"a": jnp.zeros((4,)), "b": jnp.zeros((3, 2))}
+    res = minimize_scipy(quad, x0)
+    assert res.success
+    np.testing.assert_allclose(np.asarray(res.x["a"]), 1.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.x["b"]), -0.5, atol=1e-6)
+
+    # rosenbrock via the `minimize` dispatch
+    def rosen(x):
+        return jnp.sum(
+            100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1.0 - x[:-1]) ** 2
+        )
+
+    r = minimize(rosen, jnp.zeros((5,)), method="scipy:L-BFGS-B",
+                 options=dict(maxiter=500))
+    np.testing.assert_allclose(np.asarray(r.x), 1.0, atol=1e-4)
+
+    # bounds keep the iterate inside the box
+    rb = minimize_scipy(rosen, jnp.zeros((5,)), bounds=(-0.5, 0.5))
+    assert float(jnp.max(jnp.abs(rb.x))) <= 0.5 + 1e-12
