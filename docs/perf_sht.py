@@ -95,15 +95,25 @@ def healpix(lmax, nside):
     }
 
 
+def _safe(fn, *args, **kw):
+    try:
+        emit(fn(*args, **kw))
+    except Exception as e:
+        emit({"probe": fn.__name__, "args": [repr(a) for a in args],
+              "error": repr(e)[:200]})
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "gl"):
-        for lmax in (512, 1024, 2048):
-            emit(gl(lmax))
-        emit(gl(2048, on_the_fly=True))
+        for lmax in (512, 1024):
+            _safe(gl, lmax)
+        # lmax 2048: the dense (m, theta, l) Legendre table exceeds HBM;
+        # the on-the-fly scan formulation is the supported path there.
+        _safe(gl, 2048, on_the_fly=True)
     if which in ("all", "hp"):
-        for lmax, nside in ((511, 256), (1023, 512), (2047, 1024)):
-            emit(healpix(lmax, nside))
+        for lmax, nside in ((511, 256), (1023, 512)):
+            _safe(healpix, lmax, nside)
 
 
 if __name__ == "__main__":

@@ -95,6 +95,8 @@ def main():
         ((2048, 2048), 128, 4, "vmap"),
         ((2048, 2048), 128, 4, "smap"),
         ((4096, 4096), 128, 4, "smap"),
+        ((2048, 2048), None, 4, "smap"),
+        ((4096, 4096), None, 4, "smap"),
     ]:
         emit(p2.fused_timed(dims, nb, ns, rmap, rmap,
                             f"{dims[0]}^2 nb={nb} {rmap}"))

@@ -140,39 +140,51 @@ def _nonlinear_update_funcs(likelihood, point_estimates, jit=False):
     """Build the residual functional, metric, and sample norm for geoVI.
 
     The functional is ``0.5 || m - g(x) ||^2`` with
-    ``g(x) = x - e + lsm_e(T(x) - T(e))`` — its minimizer transports the
-    metric sample ``m`` along the likelihood's geometry.
-    Parity: ``src/re/evi.py:147-199``.
+    ``g(x) = x - a + lsm_a(T(x) - T(a))`` at expansion point (anchor)
+    ``a`` — its minimizer transports the metric sample ``m`` along the
+    likelihood's geometry.  Capability parity: ``src/re/evi.py:147-199``.
     """
 
-    def _freeze(e):
-        return likelihood.freeze(point_estimates=point_estimates, primals=e)
-
-    def residual_vg(e, lh_trafo_at_p, ms_at_p, x):
-        lh, e_liquid = _freeze(e)
-        t = tree_sub(lh.transformation(x), lh_trafo_at_p)
-        g = tree_add(tree_sub(x, e_liquid), lh.left_sqrt_metric(e_liquid, t))
-        r = tree_sub(ms_at_p, g)
-        res = 0.5 * vdot(r, r).real
-        ngrad = tree_map(jnp.conj, r)
-        ngrad = tree_add(
-            ngrad, lh.left_sqrt_metric(x, lh.right_sqrt_metric(e_liquid, ngrad))
+    def _freeze(anchor):
+        return likelihood.freeze(
+            point_estimates=point_estimates, primals=anchor
         )
-        return res, tree_map(jnp.negative, ngrad)
 
-    def metric(e, primals, tangents):
-        lh, e_liquid = _freeze(e)
+    def residual_vg(anchor, trafo_ref, target, x):
+        # Value and gradient of 0.5 ||target - g(x)||^2; `trafo_ref` is
+        # T(anchor), precomputed once outside the minimization.
+        lh, live = _freeze(anchor)
+        dtrafo = tree_sub(lh.transformation(x), trafo_ref)
+        transported = tree_add(
+            tree_sub(x, live), lh.left_sqrt_metric(live, dtrafo)
+        )
+        mismatch = tree_sub(target, transported)
+        value = 0.5 * vdot(mismatch, mismatch).real
+        cograd = tree_map(jnp.conj, mismatch)
+        cograd = tree_add(
+            cograd, lh.left_sqrt_metric(x, lh.right_sqrt_metric(live, cograd))
+        )
+        return value, tree_map(jnp.negative, cograd)
+
+    def metric(anchor, primals, tangents):
+        # (1 + lsm_x rsm_a)(1 + lsm_a rsm_x): the functional's
+        # Gauss-Newton Hessian approximation.
+        lh, live = _freeze(anchor)
         lsm, rsm = lh.left_sqrt_metric, lh.right_sqrt_metric
-        tm = tree_add(lsm(e_liquid, rsm(primals, tangents)), tangents)
-        return tree_add(lsm(primals, rsm(e_liquid, tm)), tm)
+        inner = tree_add(lsm(live, rsm(primals, tangents)), tangents)
+        return tree_add(lsm(primals, rsm(live, inner)), inner)
 
-    def sampnorm(e, natgrad):
-        lh, e_liquid = _freeze(e)
-        fpp = lh.right_sqrt_metric(e_liquid, natgrad)
-        return jnp.sqrt(vdot(natgrad, natgrad).real + vdot(fpp, fpp).real)
+    def sample_norm(anchor, natgrad):
+        # Convergence norm in the sample geometry: latent part + the
+        # data-space image of the natural gradient.
+        lh, live = _freeze(anchor)
+        data_image = lh.right_sqrt_metric(live, natgrad)
+        return jnp.sqrt(
+            vdot(natgrad, natgrad).real + vdot(data_image, data_image).real
+        )
 
     jit = _parse_jit(jit)
-    return jit(residual_vg), jit(metric), jit(sampnorm)
+    return jit(residual_vg), jit(metric), jit(sample_norm)
 
 
 def nonlinearly_update_residual(
@@ -213,7 +225,7 @@ def nonlinearly_update_residual(
         metric_sample = lh.remove(metric_sample)
     metric_sample = tree_map(lambda x: metric_sample_sign * x, metric_sample)
 
-    residual_vg, metric, sampnorm = _nonlinear_update_funcs(
+    residual_vg, metric, sample_norm = _nonlinear_update_funcs(
         likelihood, point_estimates, jit=jit
     )
 
@@ -225,7 +237,7 @@ def nonlinearly_update_residual(
             x0=sample,
             fun_and_grad=Partial(residual_vg, pos, trafo_at_p, metric_sample),
             hessp=Partial(metric, pos),
-            custom_gradnorm=Partial(sampnorm, pos),
+            custom_gradnorm=Partial(sample_norm, pos),
             **minimize_kwargs,
         )
     else:
