@@ -631,17 +631,31 @@ class OptimizeVI:
 
         return self._stage(self._kl_jit, step)
 
+    #: Latent sizes at/above which ``fused="auto"`` runs the iteration as
+    #: separate stage programs instead of one fused program.  Measured at
+    #: 4096² (16.8M dof): the fused megaprogram's peak working set forces
+    #: XLA spills and it runs ~1.5 s/iter *slower* than its stage sum,
+    #: while at ≤2048² fusion wins (docs/perf_probe10.json).
+    AUTO_STAGED_MIN_SIZE = 2**24
+
     def update(
         self, samples: Samples, state: OptimizeVIState, /,
-        fused: bool = True, **kwargs,
+        fused: Union[bool, str] = "auto", **kwargs,
     ) -> tuple[Samples, OptimizeVIState]:
         """One VI iteration: draw/update samples, then KL-minimize.
 
-        With ``fused=True`` (default) and both jits enabled, the whole
-        iteration runs as a single compiled program — one device dispatch
-        instead of one per stage."""
+        With ``fused=True`` and both jits enabled, the whole iteration
+        runs as a single compiled program — one device dispatch instead
+        of one per stage.  ``"auto"`` (default) fuses below
+        ``AUTO_STAGED_MIN_SIZE`` latent dof and stages above it."""
         assert isinstance(samples, Samples)
         assert isinstance(state, OptimizeVIState)
+        if isinstance(fused, str) and fused == "auto":
+            from .tree import size as _tree_size
+
+            fused = (
+                _tree_size(self.likelihood.domain) < self.AUTO_STAGED_MIN_SIZE
+            )
         nit, key = state.nit, state.key
         cfg = state.config.resolve(nit)
         kl_kwargs = dict(cfg["kl_kwargs"])

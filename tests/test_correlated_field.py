@@ -253,3 +253,49 @@ def test_quarter_index_factorizes_full_map():
         folds = [np.minimum(np.arange(n), n - np.arange(n)) for n in shape]
         expanded = idx_q[np.ix_(*folds)]
         np.testing.assert_array_equal(idx_full, expanded)
+
+
+def test_distributor_routing_by_scale(key):
+    """Routing decisions: small grids keep static distributor constants
+    (Pallas/MXU-kernel eligible, no consts leaves); grids whose index map
+    exceeds RUNTIME_DIST_MIN_BYTES carry it as a dynamic `consts` leaf on
+    the quarter grid."""
+    import numpy as np
+
+    def build(shape):
+        cfm = jft.CorrelatedFieldMaker("cf")
+        cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+        cfm.add_fluctuations(shape, distances=1.0 / shape[0],
+                             fluctuations=(1.0, 0.5),
+                             loglogavgslope=(-3.0, 0.2))
+        return cfm.finalize()
+
+    small = build((32, 32))
+    assert small.consts is None  # static path
+
+    saved = jft.CorrelatedFieldMaker.RUNTIME_DIST_MIN_BYTES
+    try:
+        # lower the gate so a test-sized grid takes the at-scale route
+        jft.CorrelatedFieldMaker.RUNTIME_DIST_MIN_BYTES = 1024
+        big = build((64, 64))
+    finally:
+        jft.CorrelatedFieldMaker.RUNTIME_DIST_MIN_BYTES = saved
+    assert big.consts is not None
+    (dist,) = big.consts.values()
+    # quarter grid: axis lengths n//2+1
+    assert dist.shape == (33, 33)
+    # OptimizeVI stage binding follows the same scale split
+    import jax.numpy as jnp
+
+    lh = jft.Gaussian(jnp.zeros((64, 64)), noise_cov_inv=lambda x: x).amend(big)
+    opt_small = jft.OptimizeVI(
+        jft.Gaussian(jnp.zeros((32, 32)), noise_cov_inv=lambda x: x).amend(small),
+        n_total_iterations=1)
+    assert not opt_small._lh_as_arg
+    saved2 = jft.OptimizeVI.LH_AS_ARG_MIN_BYTES
+    try:
+        jft.OptimizeVI.LH_AS_ARG_MIN_BYTES = 1024
+        opt_big = jft.OptimizeVI(lh, n_total_iterations=1)
+    finally:
+        jft.OptimizeVI.LH_AS_ARG_MIN_BYTES = saved2
+    assert opt_big._lh_as_arg

@@ -338,3 +338,52 @@ def test_optimize_kl_orbax_checkpoint_roundtrip(key, tmp_path):
     np.testing.assert_allclose(
         np.asarray(s2.pos["cfxi"]), np.asarray(s3.pos["cfxi"]), atol=1e-5
     )
+
+
+def test_lh_as_argument_stage_compilation_matches_baked(rng, key):
+    """With the likelihood passed as a runtime argument to the compiled
+    stages (the at-scale HBM-safe path, forced here via the size gate),
+    a full fused VI iteration must agree with the constant-baked default
+    to solver-stopping tolerance."""
+    dims = (24, 24)
+    data = jnp.asarray(rng.normal(size=dims))
+    cfm = jft.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=0.5, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(dims, 1.0 / 24, (1.0, 0.5), (-2.5, 0.3),
+                         flexibility=(1.0, 0.5))
+    cf = cfm.finalize()
+    lh = jft.Gaussian(data, noise_cov_inv=lambda x: x).amend(cf)
+    pos = jft.random_like(key, lh.domain)
+    kwargs = dict(
+        n_samples=2,
+        draw_linear_kwargs=dict(cg_kwargs=dict(maxiter=60)),
+        nonlinearly_update_kwargs=dict(minimize_kwargs=dict(
+            xtol=1e-5, maxiter=3, cg_kwargs=dict(maxiter=25))),
+        kl_kwargs=dict(minimize_kwargs=dict(
+            xtol=1e-6, maxiter=8, cg_kwargs=dict(maxiter=40))),
+        sample_mode="nonlinear_resample",
+    )
+
+    def run():
+        opt = jft.OptimizeVI(lh, n_total_iterations=1)
+        state = opt.init_state(jax.random.PRNGKey(3), **kwargs)
+        samples = jft.Samples(pos=pos, samples=None, keys=None)
+        samples, state = opt.update(samples, state)
+        return samples, state, opt
+
+    s_baked, st_baked, opt_b = run()
+    assert not opt_b._lh_as_arg
+    saved = jft.OptimizeVI.LH_AS_ARG_MIN_BYTES
+    try:
+        jft.OptimizeVI.LH_AS_ARG_MIN_BYTES = 0
+        s_arg, st_arg, opt_a = run()
+    finally:
+        jft.OptimizeVI.LH_AS_ARG_MIN_BYTES = saved
+    assert opt_a._lh_as_arg
+    np.testing.assert_allclose(
+        float(st_arg.minimization_state.fun),
+        float(st_baked.minimization_state.fun), rtol=1e-6,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s_arg.samples),
+                    jax.tree_util.tree_leaves(s_baked.samples)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
