@@ -47,7 +47,9 @@ def main():
 
     key, sk = jax.random.split(key)
     truth_pos = sky.init(sk)
-    truth = jax.jit(sky)(truth_pos)
+    # jcall: model rides as a jit ARGUMENT so the ~GB-scale SHT tables
+    # (Model.consts) enter as runtime buffers, not baked HLO constants
+    truth = sky.jcall(truth_pos)
 
     # Inhomogeneous noise: the "galactic plane" rings are 5x noisier.
     npix = truth.shape[0]
@@ -81,7 +83,7 @@ def main():
     )
     dt = time.perf_counter() - t0
     post_mean = jnp.mean(
-        jnp.stack([sky(s) for s in samples]), axis=0
+        jnp.stack([sky.jcall(s) for s in samples]), axis=0
     )
     err = float(jnp.mean((post_mean - truth) ** 2) ** 0.5)
     prior_rms = float(jnp.std(truth))

@@ -1,12 +1,27 @@
 #!/usr/bin/env python
-"""Real-TPU f32 posterior-quality check (VERDICT r2 weak #3).
+"""Real-TPU f32 posterior-quality check (VERDICT r2 weak #3, r4 item #1).
 
 Runs the 64² correlated-field geoVI inference on the TPU chip (f32) and
-on CPU (f64) with identical configs/keys, then compares posterior means
-and stds on the CF output scale.  Pass criterion: f32-TPU posterior mean
-within a fraction of the posterior std of the f64-CPU one (the same
-statistical-equivalence standard as tests/test_f32_acceptance.py, but on
-real hardware).  Writes docs/f32_tpu_check.json.
+on CPU (f64) with identical configs/keys, then compares posteriors.
+
+Statistical design (round 5): the round-4 version compared the MEDIAN
+per-pixel posterior-std ratio with an MC floor estimated from half-sample
+splits, and measured a "failing" 1.36.  That floor was wrong: per-pixel
+stds at 64² are dominated by a handful of shared low-k modes, so the
+median over pixels does NOT average their sampling noise away — fully
+converged *f64* draws with independent key sets show 5-7% set-to-set
+median-ratio swings at n=24 (measured round 5), and same-RHS solves show
+the f32 CG solutions match converged f64 to ~0.2%.  This version
+
+- draws 48 antithetic pairs (96 samples) at the final iteration,
+- estimates the std-ratio floor by BOOTSTRAP over antithetic pairs
+  (which inherits the pixel correlations the half-split method missed),
+- adds band-power ratios (harmonic bins pool thousands of independent
+  modes, so their MC error is small without extra samples).
+
+Pass criterion: posterior means within a fraction of the posterior std,
+std ratio in [0.9, 1.1], and the high-k band-power ratios (the
+well-powered statistic) in [0.8, 1.25].  Writes docs/f32_tpu_check.json.
 """
 
 import json
@@ -14,6 +29,8 @@ import subprocess
 import sys
 
 import numpy as np
+
+N_FINAL_PAIRS = 48
 
 WORKER = r"""
 import sys, json
@@ -25,6 +42,8 @@ platform = sys.argv[1]
 if platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+elif platform == "cpu32":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 sys.path.insert(0, "/root/repo")
@@ -33,6 +52,8 @@ import logging
 jft.logger.setLevel(logging.WARNING)
 
 dims = (64, 64)
+N_ITER = 10
+N_FINAL_PAIRS = 48
 cfm = jft.CorrelatedFieldMaker("cf")
 cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
 cfm.add_fluctuations(dims, distances=1.0/dims[0], fluctuations=(1.0, 5e-1),
@@ -59,7 +80,10 @@ samples, state = jft.optimize_kl(
         lh.domain,
         is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"),
     ),
-    key=jax.random.PRNGKey(7), n_total_iterations=10, n_samples=12,
+    key=jax.random.PRNGKey(7), n_total_iterations=N_ITER,
+    # schedule: cheap iterations while converging, a big final batch for
+    # a well-powered posterior-std comparison
+    n_samples=lambda i: N_FINAL_PAIRS if i >= N_ITER - 1 else 12,
     draw_linear_kwargs=dict(cg_kwargs=dict(maxiter=80)),
     nonlinearly_update_kwargs=dict(minimize_kwargs=dict(
         xtol=1e-4, maxiter=5, cg_kwargs=dict(maxiter=40))),
@@ -68,10 +92,8 @@ samples, state = jft.optimize_kl(
     sample_mode="nonlinear_resample",
 )
 fields = np.stack([np.asarray(cf(s), dtype=np.float64) for s in samples])
-half = fields.shape[0] // 2
-out = {"mean": fields.mean(0).tolist(), "std": fields.std(0).tolist(),
-       "std_h1": fields[:half].std(0).tolist(),
-       "std_h2": fields[half:].std(0).tolist(),
+out = {"fields": fields.tolist(),
+       "kl_nit": int(state.minimization_state.nit),
        "energy": float(state.minimization_state.fun)}
 with open(f"/tmp/f32check_{platform}.json", "w") as f:
     json.dump(out, f)
@@ -82,40 +104,92 @@ print("done", platform)
 def run(platform):
     r = subprocess.run(
         [sys.executable, "-c", WORKER, platform],
-        capture_output=True, text=True, timeout=3000,
+        capture_output=True, text=True, timeout=7000,
     )
     if r.returncode != 0:
-        raise RuntimeError(f"{platform} worker failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+        raise RuntimeError(
+            f"{platform} worker failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}"
+        )
     with open(f"/tmp/f32check_{platform}.json") as f:
         return json.load(f)
 
 
+def band_power(fields):
+    """Mean power per |k| band, per sample: (n_samples, n_bands)."""
+    resid = fields - fields.mean(0)
+    F = np.fft.rfft2(resid, axes=(-2, -1))
+    p = np.abs(F) ** 2
+    ny, nx = fields.shape[-2:]
+    ky = np.fft.fftfreq(ny) * ny
+    kx = np.arange(nx // 2 + 1)
+    kk = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
+    edges = np.array([0.5, 2, 4, 8, 12, 18, 26, 36, 46])
+    idx = np.digitize(kk, edges) - 1
+    out = np.zeros((fields.shape[0], len(edges) - 1))
+    for b in range(len(edges) - 1):
+        m = idx == b
+        out[:, b] = p[:, m].mean(-1)
+    return out
+
+
+def bootstrap_ratio_floor(fields_t, fields_c, n_boot=200, seed=5):
+    """Bootstrap (over antithetic pairs) spread of the std-ratio median."""
+    rng = np.random.default_rng(seed)
+    n_pairs = fields_t.shape[0] // 2
+    pt = fields_t.reshape(n_pairs, 2, *fields_t.shape[1:])
+    pc = fields_c.reshape(n_pairs, 2, *fields_c.shape[1:])
+    vals = []
+    for _ in range(n_boot):
+        it = rng.integers(0, n_pairs, n_pairs)
+        ic = rng.integers(0, n_pairs, n_pairs)
+        st = pt[it].reshape(-1, *fields_t.shape[1:]).std(0)
+        sc = pc[ic].reshape(-1, *fields_c.shape[1:]).std(0)
+        vals.append(np.median(st / sc))
+    return float(np.std(vals))
+
+
 def main():
-    tpu = run("tpu")
-    cpu = run("cpu")
-    m_t, m_c = np.asarray(tpu["mean"]), np.asarray(cpu["mean"])
-    s_t, s_c = np.asarray(tpu["std"]), np.asarray(cpu["std"])
+    platforms = sys.argv[1:] or ["tpu", "cpu"]
+    tpu = run(platforms[0])
+    cpu = run(platforms[1])
+    f_t = np.asarray(tpu["fields"])
+    f_c = np.asarray(cpu["fields"])
+    m_t, m_c = f_t.mean(0), f_c.mean(0)
+    s_t, s_c = f_t.std(0), f_c.std(0)
     spread = 0.5 * (s_t + s_c) + 1e-6
     z = np.abs(m_t - m_c) / spread
-    # MC uncertainty of the std-ratio median: spread between ratios from
-    # independent half-sample std estimates (same platform), i.e. the
-    # resolution floor of this check.
-    h_t1, h_t2 = np.asarray(tpu["std_h1"]), np.asarray(tpu["std_h2"])
-    mc_floor = abs(float(np.median(h_t1 / (h_t2 + 1e-12))) - 1.0)
     ratio = float(np.median(s_t / s_c))
+    floor = bootstrap_ratio_floor(f_t, f_c)
+    bp_t, bp_c = band_power(f_t), band_power(f_c)
+    bp_ratio = bp_t.mean(0) / bp_c.mean(0)
+    # per-band standard error of the ratio (pairs as the iid unit)
+    n_pairs = f_t.shape[0] // 2
+    pair_t = bp_t.reshape(n_pairs, 2, -1).mean(1)
+    pair_c = bp_c.reshape(n_pairs, 2, -1).mean(1)
+    se = np.sqrt(
+        pair_t.std(0) ** 2 / n_pairs / np.maximum(pair_c.mean(0), 1e-30) ** 2
+        + pair_c.std(0) ** 2 / n_pairs * (pair_t.mean(0) ** 2)
+        / np.maximum(pair_c.mean(0), 1e-30) ** 4
+    )
+    hi_bands_ok = bool(np.all(np.abs(bp_ratio[3:] - 1.0) < 0.25))
     rec = {
-        "n_samples": 24,
+        "n_samples": int(f_t.shape[0]),
         "mean_abs_diff": float(np.abs(m_t - m_c).mean()),
         "median_z": float(np.median(z)),
         "frac_z_gt3": float(np.mean(z > 3.0)),
         "std_ratio_median": ratio,
-        "std_ratio_mc_floor": mc_floor,
-        "energy_tpu_f32": tpu["energy"],
-        "energy_cpu_f64": cpu["energy"],
-        # Tight acceptance (VERDICT r3 weak #1): posterior std must agree
-        # within 10%, means within a fraction of the posterior std.
-        "pass": bool(np.median(z) < 1.0 and np.mean(z > 3.0) < 0.05
-                     and 0.9 < ratio < 1.1),
+        "std_ratio_mc_floor_bootstrap": floor,
+        "band_power_ratio": [round(float(r), 4) for r in bp_ratio],
+        "band_power_ratio_se": [round(float(r), 4) for r in se],
+        "kl_newton_steps": [tpu["kl_nit"], cpu["kl_nit"]],
+        "energy_f32": tpu["energy"],
+        "energy_f64": cpu["energy"],
+        # Acceptance (VERDICT r4 #1): means within the posterior scale,
+        # std ratio in [0.9, 1.1], well-powered band powers within 25%.
+        "pass": bool(
+            np.median(z) < 1.0 and np.mean(z > 3.0) < 0.05
+            and 0.9 < ratio < 1.1 and hi_bands_ok
+        ),
     }
     print(json.dumps(rec))
     with open("/root/repo/docs/f32_tpu_check.json", "w") as f:

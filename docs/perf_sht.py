@@ -43,6 +43,36 @@ def timed(fn, *args, n=5):
     return (time.perf_counter() - t0) / n
 
 
+def chain_roundtrip(f, consts, x0, k_lo=2, k_hi=10, reps=3):
+    """Per-application seconds of x -> f(consts, x) via two in-jit scan
+    lengths.
+
+    Differencing two chained-scan lengths removes dispatch/tunnel latency
+    from the estimate (the docs/perf_probe7 methodology); `consts` (the
+    SHT tables) ride as runtime arguments so the program stays small
+    enough for the remote compile service.
+    """
+
+    def chain(k):
+        def g(c, x):
+            def body(carry, _):
+                return f(c, carry), ()
+            y, _ = jax.lax.scan(body, x, None, length=k)
+            return y
+        return jax.jit(g)
+
+    def t(fn):
+        jax.block_until_ready(fn(consts, x0))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(consts, x0))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (t(chain(k_hi)) - t(chain(k_lo))) / (k_hi - k_lo)
+
+
 def gl(lmax, on_the_fly=False):
     if on_the_fly:
         from nifty_tpu.ops.sht import SphericalHarmonicTransformOnTheFly as T
@@ -54,20 +84,35 @@ def gl(lmax, on_the_fly=False):
     t_build = time.perf_counter() - t_build
     key = jax.random.PRNGKey(0)
     alm = jax.random.normal(key, ((lmax + 1) ** 2,), jnp.float32)
-    synth = jax.jit(sht.synthesize_real)
+    # The `_jit` wrappers pass the Legendre tables as runtime arguments;
+    # wrapping the bound methods in a plain jax.jit would bake them as
+    # HLO constants (~0.5 GB at lmax=512) and overflow the remote
+    # compile service (HTTP 413).
+    synth = (sht.synthesize_real_jit if hasattr(sht, "synthesize_real_jit")
+             else jax.jit(sht.synthesize_real))
     m = synth(alm)
     t_synth = timed(synth, alm)
-    ana = jax.jit(lambda mm: sht.map2alm(mm))
+    ana = (sht.map2alm_jit if hasattr(sht, "map2alm_jit")
+           else jax.jit(sht.map2alm))
     t_ana = timed(ana, m)
+    # in-jit chained roundtrip (map -> alm -> map): dispatch-free estimate
+    consts = getattr(sht, "consts", {})
+    t_rt = chain_roundtrip(
+        lambda c, mm: sht.alm2map(sht.map2alm(
+            mm, **({"consts": c} if c else {})), **({"consts": c} if c else {})),
+        consts, m)
     # round-trip accuracy (analysis exact on GL grid)
     alm_c = jax.jit(sht.real2alm)(alm)
-    rt = np.asarray(ana(jax.jit(sht.alm2map)(alm_c)))
+    a2m = (sht.alm2map_jit if hasattr(sht, "alm2map_jit")
+           else jax.jit(sht.alm2map))
+    rt = np.asarray(ana(a2m(alm_c)))
     err = float(np.abs(rt - np.asarray(alm_c)).max()
                 / max(np.abs(np.asarray(alm_c)).max(), 1e-30))
     return {
         "probe": "gl_sht" + ("_otf" if on_the_fly else ""),
         "lmax": lmax, "grid": list(getattr(sht, "grid_shape", (0, 0))),
         "build_s": t_build, "synthesis_s": t_synth, "analysis_s": t_ana,
+        "roundtrip_injit_s": t_rt,
         "roundtrip_rel_err_f32": err,
     }
 
@@ -80,18 +125,24 @@ def healpix(lmax, nside):
     t_build = time.perf_counter() - t_build
     key = jax.random.PRNGKey(0)
     alm = jax.random.normal(key, ((lmax + 1) ** 2,), jnp.float32)
-    synth = jax.jit(sht.synthesize_real)
+    synth = sht.synthesize_real_jit
     m = synth(alm)
     t_synth = timed(synth, alm)
-    ana_w = jax.jit(sht.map2alm_weighted)
+    ana_w = sht.map2alm_weighted_jit
     t_ana_w = timed(ana_w, m)
-    ana_cg = jax.jit(lambda mm: sht.map2alm(mm, maxiter=10))
-    t_ana_cg = timed(ana_cg, m, n=2)
+    ana_cg = sht._jitted(
+        "map2alm_cg10", lambda t, mm: sht.map2alm(mm, maxiter=10, consts=t))
+    t_ana_cg = timed(lambda mm: ana_cg(sht.consts, mm), m, n=2)
+    t_rt = chain_roundtrip(
+        lambda c, mm: sht.alm2map(sht.map2alm_weighted(mm, consts=c),
+                                  consts=c),
+        sht.consts, m)
     return {
         "probe": "healpix_sht", "lmax": lmax, "nside": nside,
         "npix": int(sht.npix), "build_s": t_build, "synthesis_s": t_synth,
         "analysis_ring_weight_s": t_ana_w,
         "analysis_cg10_s": t_ana_cg,
+        "roundtrip_injit_s": t_rt,
     }
 
 

@@ -30,8 +30,16 @@ def _with_dtype(proto, dtype):
     requested dtype itself is complex)."""
     import jax.numpy as jnp
 
+    want = jnp.dtype(dtype)
+
     def leaf(sd):
-        return jax.ShapeDtypeStruct(np.shape(sd), jnp.dtype(dtype))
+        dt = want
+        if np.issubdtype(sd.dtype, np.complexfloating) and not np.issubdtype(
+            want, np.complexfloating
+        ):
+            # keep complex leaves complex at the matching precision
+            dt = jnp.dtype(np.result_type(want, np.complex64))
+        return jax.ShapeDtypeStruct(np.shape(sd), dt)
 
     return tree_map(leaf, shape_dtype_like(proto))
 

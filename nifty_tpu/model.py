@@ -223,8 +223,25 @@ class Model(LazyModel):
             return self._call(self.consts, *args, **kwargs)
         return self._call(*args, **kwargs)
 
+    def jcall(self, *args):
+        """Jitted apply with the model passed as an ARGUMENT.
+
+        ``jax.jit(model)(x)`` closes over the model, so its ``consts``
+        (multi-GB SHT/distributor tables at scale) are baked into the
+        executable as HLO constants — which duplicates HBM and can
+        overflow the remote-compile request size.  ``model.jcall(x)``
+        compiles ``(model, x) -> model(x)`` instead: the tables enter as
+        shared runtime device buffers.
+        """
+        return _jitted_model_apply(self, *args)
+
     def __repr__(self):
         return f"{self.__class__.__name__}({pformat(self._call)}, domain={pformat(self._domain)})"
+
+
+@jax.jit
+def _jitted_model_apply(model, *args):
+    return model(*args)
 
 
 def wrap(call: Callable, name) -> Callable:

@@ -84,6 +84,14 @@ SphericalHarmonicGrid = namedtuple(
         "log_volume",
         "lmax",
         "transform",
+        # Precomputed SHT tables (Legendre / phase matrices) that the
+        # transform accepts via its `consts=` kwarg.  When their total
+        # size crosses RUNTIME_DIST_MIN_BYTES, `finalize` routes them
+        # through `Model.consts` so every compiled stage receives them as
+        # shared runtime buffers instead of baked HLO constants (at
+        # nside=256 the tables are ~4.3 GB — constant-baking overflows
+        # the remote-compile request, HTTP 413).
+        "transform_consts",
     ),
 )
 
@@ -123,8 +131,8 @@ def make_spherical_grid(lmax, nlat=None, nphi=None, *,
     um[1:] -= um[1]
     log_vol = um[2:] - um[1:-1]
 
-    def transform(x, axes=None):
-        return sht.synthesize_real(x) / np.sqrt(totvol)
+    def transform(x, axes=None, consts=None):
+        return sht.synthesize_real(x, consts=consts) / np.sqrt(totvol)
 
     harmonic_grid = SphericalHarmonicGrid(
         shape=((lmax + 1) ** 2,),
@@ -135,6 +143,7 @@ def make_spherical_grid(lmax, nlat=None, nphi=None, *,
         log_volume=log_vol,
         lmax=lmax,
         transform=transform,
+        transform_consts=dict(sht.consts),
     )
     return RegularCartesianGrid(
         shape=sht_grid_shape,
@@ -715,10 +724,36 @@ class CorrelatedFieldMaker:
             else (1.0 / g.total_volume, ht, axes)
             for g, axes, sph in zip(grids, sub_axes, spherical)
         )
+        # Spherical transforms with large precomputed tables (Legendre /
+        # phase matrices): route the tables through `Model.consts` as
+        # runtime buffers — same rationale (and threshold) as the
+        # distributor maps below.  Small tables stay baked constants.
+        sht_routed = tuple(
+            sph
+            and getattr(g.harmonic_grid, "transform_consts", None) is not None
+            and sum(
+                int(np.asarray(v).nbytes)
+                for v in g.harmonic_grid.transform_consts.values()
+            )
+            >= self.RUNTIME_DIST_MIN_BYTES
+            for g, sph in zip(grids, spherical)
+        )
+        sht_consts = {}
+        for i, (g, routed) in enumerate(zip(grids, sht_routed)):
+            if routed:
+                for k, v in g.harmonic_grid.transform_consts.items():
+                    sht_consts[f"sht{i}_{k}"] = jnp.asarray(v)
 
-        def outer_harmonic_transform(x):
-            for dvol, tf, axes in transforms:
-                x = dvol * tf(x, axes=axes)
+        def outer_harmonic_transform(x, c=None):
+            for i, (dvol, tf, axes) in enumerate(transforms):
+                if sht_routed[i] and c is not None:
+                    tc = {
+                        k: c[f"sht{i}_{k}"]
+                        for k in grids[i].harmonic_grid.transform_consts
+                    }
+                    x = dvol * tf(x, axes=axes, consts=tc)
+                else:
+                    x = dvol * tf(x, axes=axes)
             return x
 
         # Distributor index maps.  Small maps ride as *static* numpy
@@ -756,7 +791,9 @@ class CorrelatedFieldMaker:
         consts = {
             f"power_distributor_{i}": jnp.asarray(d)
             for i, (d, r) in enumerate(zip(distributors, as_runtime)) if r
-        } or None
+        }
+        consts.update(sht_consts)
+        consts = consts or None
 
         def resolve_distributors(c):
             return tuple(
@@ -795,7 +832,7 @@ class CorrelatedFieldMaker:
             dists = resolve_distributors(c) if c is not None else distributors
             ea = outer_amplitude(dists, p, scale=azm(p))
             cf_h = ea * p[pfx]
-            return offset_mean + outer_harmonic_transform(cf_h)
+            return offset_mean + outer_harmonic_transform(cf_h, c)
 
         if total_N > 0:
             # Batched fields (parity: classic `total_N`/`dofdex`,
@@ -828,7 +865,7 @@ class CorrelatedFieldMaker:
                 def field_one(pset, xi):
                     ea = outer_amplitude(dists, pset, scale=azm(pset))
                     cf_h = ea * xi
-                    return offset_mean + outer_harmonic_transform(cf_h)
+                    return offset_mean + outer_harmonic_transform(cf_h, c)
 
                 psets = {k: p[k][dofdex_arr] for k in param_keys}
                 return jax.vmap(field_one)(psets, p[pfx])

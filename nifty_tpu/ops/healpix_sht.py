@@ -47,81 +47,127 @@ class HEALPixSHT:
                                             return_inverse=True)
         self._nrings = ring_theta.size
         lam = normalized_legendre_table(self.lmax, ring_theta, self.mmax)
-        self._lam = jnp.asarray(lam, dtype=dtype)  # (mmax+1, nrings, lmax+1)
-        self._ring_of_pix = jnp.asarray(ring_of_pix.astype(np.int32))
         ms = np.arange(self.mmax + 1)
-        self._cos = jnp.asarray(np.cos(phi[:, None] * ms[None, :]), dtype=dtype)
-        self._sin = jnp.asarray(np.sin(phi[:, None] * ms[None, :]), dtype=dtype)
+        # Precomputed tables live in `consts` so they can enter compiled
+        # programs as RUNTIME ARGUMENTS rather than HLO constants: at
+        # nside=256/lmax=511 the Legendre + phase tables total ~4.3 GB,
+        # which constant-baking duplicates per executable and the remote
+        # compile service rejects outright (HTTP 413).  Thread via the
+        # ``consts=`` method parameter (Model.consts in a correlated
+        # field) or the ``*_jit`` wrappers.
+        self.consts = {
+            "lam": jnp.asarray(lam, dtype=dtype),  # (mmax+1, nrings, lmax+1)
+            "ring_of_pix": jnp.asarray(ring_of_pix.astype(np.int32)),
+            "cos": jnp.asarray(np.cos(phi[:, None] * ms[None, :]), dtype=dtype),
+            "sin": jnp.asarray(np.sin(phi[:, None] * ms[None, :]), dtype=dtype),
+        }
         # quadrature weights: equal-area pixels
         self._w = 4.0 * np.pi / self.npix
         self._ring_theta = ring_theta
         self._ring_of_pix_np = ring_of_pix
         self._ring_weights = None  # lazy (host solve)
         self._dtype = dtype
+        self._jit_cache = {}
+
+    @property
+    def _lam(self):
+        return self.consts["lam"]
+
+    @property
+    def _ring_of_pix(self):
+        return self.consts["ring_of_pix"]
+
+    @property
+    def _cos(self):
+        return self.consts["cos"]
+
+    @property
+    def _sin(self):
+        return self.consts["sin"]
+
+    def _jitted(self, name, fn):
+        """Jitted functional core: tables enter as call arguments."""
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
 
     @property
     def n_alm(self):
         return n_alm(self.lmax, self.mmax)
 
-    def alm2map(self, alm):
+    def alm2map(self, alm, consts=None):
         """Synthesis: packed complex alm -> HEALPix map (ring order)."""
+        t = self.consts if consts is None else consts
         A = _unpack_alm_to_matrix(alm, self.lmax, self.mmax)
         F = jnp.einsum(
-            "mtl,ml->mt", self._lam, A,
+            "mtl,ml->mt", t["lam"], A,
             precision=jax.lax.Precision.HIGHEST,
         )  # (mmax+1, nrings) complex
         c = jnp.concatenate([
             jnp.ones((1,), self._dtype), 2.0 * jnp.ones((self.mmax,), self._dtype)
         ])
-        Fp = (c[:, None] * F)[:, self._ring_of_pix]  # (mmax+1, npix)
+        Fp = (c[:, None] * F)[:, t["ring_of_pix"]]  # (mmax+1, npix)
         return jnp.einsum(
-            "pm,mp->p", self._cos, Fp.real,
+            "pm,mp->p", t["cos"], Fp.real,
             precision=jax.lax.Precision.HIGHEST,
         ) - jnp.einsum(
-            "pm,mp->p", self._sin, Fp.imag,
+            "pm,mp->p", t["sin"], Fp.imag,
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    def map2alm_adjoint(self, m_arr):
+    def alm2map_jit(self, alm):
+        return self._jitted(
+            "alm2map", lambda t, a: self.alm2map(a, consts=t)
+        )(self.consts, alm)
+
+    def map2alm_adjoint(self, m_arr, consts=None):
         """Exact adjoint of synthesis, quadrature-weighted: ≈ analysis for
         band-limited maps; feed into CG for iterative exact analysis."""
+        t = self.consts if consts is None else consts
         mw = m_arr * self._w
         c = jnp.concatenate([
             jnp.ones((1,), self._dtype), 2.0 * jnp.ones((self.mmax,), self._dtype)
         ])
-        re = jnp.einsum("pm,p->mp", self._cos, mw,
+        re = jnp.einsum("pm,p->mp", t["cos"], mw,
                         precision=jax.lax.Precision.HIGHEST)
-        im = -jnp.einsum("pm,p->mp", self._sin, mw,
+        im = -jnp.einsum("pm,p->mp", t["sin"], mw,
                          precision=jax.lax.Precision.HIGHEST)
         Fp = re + 1j * im  # (mmax+1, npix)
         # sum over pixels per ring (transpose of the ring gather)
         F = jax.vmap(
             lambda row: jax.ops.segment_sum(
-                row, self._ring_of_pix, num_segments=self._nrings
+                row, t["ring_of_pix"], num_segments=self._nrings
             )
         )(Fp)
-        A = jnp.einsum("mtl,mt->ml", self._lam, F * c[:, None],
+        A = jnp.einsum("mtl,mt->ml", t["lam"], F * c[:, None],
                        precision=jax.lax.Precision.HIGHEST)
         from .sht import _pack_matrix_to_alm
 
         return _pack_matrix_to_alm(A, self.lmax, self.mmax)
 
-    def synthesize_real(self, x):
+    def synthesize_real(self, x, consts=None):
         """Real LMSpace coefficients -> HEALPix map (for spherical
         correlated fields on HEALPix grids)."""
         from .sht import real2alm
 
-        return self.alm2map(real2alm(x, self.lmax, self.mmax))
+        return self.alm2map(real2alm(x, self.lmax, self.mmax), consts=consts)
 
-    def map2alm(self, m_arr, maxiter: int = 20, tol: float = 1e-8):
+    def synthesize_real_jit(self, x):
+        return self._jitted(
+            "synthesize_real", lambda t, v: self.synthesize_real(v, consts=t)
+        )(self.consts, x)
+
+    def map2alm(self, m_arr, maxiter: int = 20, tol: float = 1e-8,
+                consts=None):
         """Iterative analysis: solve ``synth(alm) = map`` in the
         least-squares sense by CG on the normal equations."""
         from ..solvers.cg import _static_cg
 
         def normal_op(alm):
-            return self.map2alm_adjoint(self.alm2map(alm))
+            return self.map2alm_adjoint(self.alm2map(alm, consts=consts),
+                                        consts=consts)
 
-        j = self.map2alm_adjoint(m_arr)
+        j = self.map2alm_adjoint(m_arr, consts=consts)
         res = _static_cg(normal_op, j, resnorm=tol, maxiter=maxiter)
         return res.x
 
@@ -133,7 +179,14 @@ class HEALPixSHT:
             )
         return self._ring_weights
 
-    def map2alm_weighted(self, m_arr):
+    def map2alm_weighted_jit(self, m_arr):
+        self._get_ring_weights()  # host precompute outside the trace
+        return self._jitted(
+            "map2alm_weighted",
+            lambda t, m: self.map2alm_weighted(m, consts=t),
+        )(self.consts, m_arr)
+
+    def map2alm_weighted(self, m_arr, consts=None):
         """One-shot analysis with exact-quadrature ring weights.
 
         Per-ring corrections to the equal-area pixel weight are solved on
@@ -142,23 +195,24 @@ class HEALPixSHT:
         ``get_ringweights``; the reference consumes it through healpy /
         ducc).  For maps band-limited well below that, this matches the
         CG analysis without any iteration."""
+        t = self.consts if consts is None else consts
         rw = jnp.asarray(self._get_ring_weights(), dtype=self._dtype)
-        corr = rw[self._ring_of_pix]
+        corr = rw[t["ring_of_pix"]]
         mw = m_arr * corr * self._w
-        re = jnp.einsum("pm,p->mp", self._cos, mw,
+        re = jnp.einsum("pm,p->mp", t["cos"], mw,
                         precision=jax.lax.Precision.HIGHEST)
-        im = -jnp.einsum("pm,p->mp", self._sin, mw,
+        im = -jnp.einsum("pm,p->mp", t["sin"], mw,
                          precision=jax.lax.Precision.HIGHEST)
         Fp = re + 1j * im
         F = jax.vmap(
             lambda row: jax.ops.segment_sum(
-                row, self._ring_of_pix, num_segments=self._nrings
+                row, t["ring_of_pix"], num_segments=self._nrings
             )
         )(Fp)
         # NOTE: no (1, 2, 2, ...) fold factor here — that belongs to the
         # *synthesis* (folding the ±m pair of a real map); the quadrature
         # analysis integrates e^{-imφ} directly.
-        A = jnp.einsum("mtl,mt->ml", self._lam, F,
+        A = jnp.einsum("mtl,mt->ml", t["lam"], F,
                        precision=jax.lax.Precision.HIGHEST)
         from .sht import _pack_matrix_to_alm
 

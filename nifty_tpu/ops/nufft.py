@@ -159,13 +159,6 @@ class RadioResponse(Model):
         if pixsize is not None:
             # uv in wavelengths -> cycles per image extent
             uv = uv * np.asarray(pixsize) * np.asarray(self._shape)
-        # Pre-sort visibilities by their base grid cell (row-major on the
-        # oversampled grid): the window gathers of neighboring points then
-        # touch neighboring memory, and — more importantly — the adjoint's
-        # scatter-add (the vjp of the forward gather) sees monotonically
-        # ordered indices, the layout ducc's sorted-bin gridder engineers
-        # explicitly (src/library/nft.py:63).  The output is un-permuted
-        # at the end, so sorting is invisible to callers.
         # Pre-sort visibilities: primarily by w-plane (when a w column is
         # given), secondarily by base grid cell (row-major on the
         # oversampled grid).  Cell ordering makes the window gathers of

@@ -124,9 +124,34 @@ class SphericalHarmonicTransform:
         from .. import config
 
         dtype = dtype if dtype is not None else config.default_float_dtype()
-        self._lam = jnp.asarray(lam, dtype=dtype)  # (mmax+1, nlat, lmax+1)
-        self._w = jnp.asarray(w, dtype=dtype)
+        # Precomputed tables live in `consts` so they can enter compiled
+        # programs as RUNTIME ARGUMENTS (shared device buffers) instead of
+        # HLO constants: at lmax≥512 the dense Legendre table is hundreds
+        # of MB and constant-baking both bloats every executable and
+        # overflows the remote-compile request size (HTTP 413).  Thread
+        # them via the ``consts=`` parameter of the transform methods (the
+        # `Model.consts` mechanism of the correlated field), or use the
+        # ``*_jit`` wrappers which pass them as arguments automatically.
+        self.consts = {
+            "lam": jnp.asarray(lam, dtype=dtype),  # (mmax+1, nlat, lmax+1)
+            "w": jnp.asarray(w, dtype=dtype),
+        }
         self._dtype = dtype
+        self._jit_cache = {}
+
+    @property
+    def _lam(self):
+        return self.consts["lam"]
+
+    @property
+    def _w(self):
+        return self.consts["w"]
+
+    def _jitted(self, name, fn):
+        """Jitted functional core: tables enter as call arguments."""
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
 
     @property
     def n_alm(self) -> int:
@@ -136,12 +161,13 @@ class SphericalHarmonicTransform:
     def grid_shape(self):
         return (self.nlat, self.nphi)
 
-    def alm2map(self, alm):
+    def alm2map(self, alm, consts=None):
         """Synthesis: packed complex alm -> real map (nlat, nphi)."""
+        c = self.consts if consts is None else consts
         A = _unpack_alm_to_matrix(alm, self.lmax, self.mmax)
         # F[θ, m] = Σ_l Λ[m, θ, l] A[m, l]  (m-batched matvec, MXU)
         F = jnp.einsum(
-            "mtl,ml->tm", self._lam, A,
+            "mtl,ml->tm", c["lam"], A,
             precision=jax.lax.Precision.HIGHEST,
         )
         n_half = self.nphi // 2 + 1
@@ -149,16 +175,28 @@ class SphericalHarmonicTransform:
         G = G.at[:, : self.mmax + 1].set(F)
         return jnp.fft.irfft(self.nphi * G, n=self.nphi, axis=1)
 
-    def map2alm(self, m_arr):
+    def map2alm(self, m_arr, consts=None):
         """Analysis (exact on the GL grid): real map -> packed alm."""
+        c = self.consts if consts is None else consts
         F = jnp.fft.rfft(m_arr, axis=1)[:, : self.mmax + 1]
         F = F * (2.0 * np.pi / self.nphi)
-        Fw = F * self._w[:, None]
+        Fw = F * c["w"][:, None]
         A = jnp.einsum(
-            "mtl,tm->ml", self._lam, Fw,
+            "mtl,tm->ml", c["lam"], Fw,
             precision=jax.lax.Precision.HIGHEST,
         )
         return _pack_matrix_to_alm(A, self.lmax, self.mmax)
+
+    def alm2map_jit(self, alm):
+        """`alm2map` compiled with the tables as runtime arguments."""
+        return self._jitted(
+            "alm2map", lambda c, a: self.alm2map(a, consts=c)
+        )(self.consts, alm)
+
+    def map2alm_jit(self, m_arr):
+        return self._jitted(
+            "map2alm", lambda c, m: self.map2alm(m, consts=c)
+        )(self.consts, m_arr)
 
     # -- real-coefficient (LMSpace) interface ------------------------------
     def real2alm(self, x):
@@ -168,10 +206,15 @@ class SphericalHarmonicTransform:
     def alm2real(self, alm):
         return alm2real(alm, self.lmax, self.mmax)
 
-    def synthesize_real(self, x):
+    def synthesize_real(self, x, consts=None):
         """Real LMSpace coefficients -> map (the harmonic transform used by
         spherical correlated fields)."""
-        return self.alm2map(self.real2alm(x))
+        return self.alm2map(self.real2alm(x), consts=consts)
+
+    def synthesize_real_jit(self, x):
+        return self._jitted(
+            "synthesize_real", lambda c, v: self.synthesize_real(v, consts=c)
+        )(self.consts, x)
 
 
 def real2alm(x, lmax: int, mmax: Optional[int] = None):

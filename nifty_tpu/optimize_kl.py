@@ -650,7 +650,11 @@ class OptimizeVI:
         ``AUTO_STAGED_MIN_SIZE`` latent dof and stages above it."""
         assert isinstance(samples, Samples)
         assert isinstance(state, OptimizeVIState)
-        if isinstance(fused, str) and fused == "auto":
+        if isinstance(fused, str):
+            if fused != "auto":
+                raise ValueError(
+                    f"`fused` must be a bool or 'auto'; got {fused!r}"
+                )
             from .tree import size as _tree_size
 
             fused = (
