@@ -102,6 +102,21 @@ def _static_cg(
     eps = 6.0 * jnp.finfo(common_dtp).eps
     tiny = 6.0 * jnp.finfo(common_dtp).tiny
 
+    # Fixed-trip deterministic mode: under `deterministic_reductions`
+    # the loop always runs exactly `maxiter` trips; convergence is
+    # RECORDED (for the returned `info`) but has no effect on the
+    # computation.  Rationale: a 1-ulp fusion/layout difference between
+    # mesh variants of the same program can flip any data-dependent
+    # stopping (or freezing) branch, displacing the returned iterate by a
+    # full CG step near the threshold, ~sqrt(absdelta) (measured round 4:
+    # 1.8e-7 cross-mesh on the fused linear update).  With a uniform trip
+    # count and no convergence-conditioned state changes, the iterate
+    # idles at the rounding plateau identically on every mesh.  Costs
+    # idle trips after convergence — the documented price of the mode.
+    from .. import config as _config
+
+    fixed_trips = bool(_config.get("deterministic_reductions"))
+
     M_inv = preconditioner if preconditioner is not None else (lambda x: x)
 
     if x0 is None:
@@ -135,6 +150,7 @@ def _static_cg(
         pos, r, d, z_prev = v["pos"], v["r"], v["d"], v["z"]
         i = v["nit"] + 1
         prev_gamma, prev_energy = v["gamma"], v["energy"]
+        conv_prev = v["conv"]
 
         # det_barrier: pin the matvec's fusion boundary so deterministic
         # mode is bitwise across meshes (see tree.det_barrier).
@@ -159,22 +175,49 @@ def _static_cg(
         z = M_inv(r)
         gamma = vdot(r, z).real
 
-        info = jnp.where((gamma >= 0.0) & (gamma <= tiny) & (info != -1), 0, info)
+        conv = (gamma >= 0.0) & (gamma <= tiny)
         if resnorm is not None:
             rn = _norm(r, norm_ord)
-            info = jnp.where((rn < resnorm) & (i >= miniter) & (info != -1), 0, info)
+            conv |= (rn < resnorm) & (i >= miniter)
         energy = vdot(
             jax.tree_util.tree_map(lambda a, b: (a - b) / 2, r, j), pos
         ).real
         energy_diff = prev_energy - energy
-        info = jnp.where(energy_diff < -eps * jnp.abs(energy), -1, info)
         if absdelta is not None:
-            info = jnp.where(
-                (energy_diff < absdelta) & (i >= miniter) & (info != -1), 0, info
+            conv |= (energy_diff < absdelta) & (i >= miniter)
+        conv |= conv_prev
+        if fixed_trips:
+            # Convergence is RECORDED ONLY — it neither exits nor freezes
+            # the iterate.  Any convergence-conditioned action is a
+            # data-dependent branch on near-threshold values that differ
+            # by ulps between mesh layouts (freezing at the recorded trip
+            # displaced cross-mesh runs by a full CG step, ~sqrt(absdelta)
+            # — measured before this design).  Post-convergence trips are
+            # numerically benign: alpha, beta -> 0 as gamma hits the
+            # rounding floor (guarded divisions below), so the iterate
+            # idles at the plateau on every mesh alike.  An energy uptick
+            # before recorded convergence is a genuine breakdown and
+            # freezes via `halt`; after it, plateau noise.
+            halt = v["halt"]
+            halt = jnp.where(
+                (energy_diff < -eps * jnp.abs(energy)) & ~conv
+                & (halt == 0), -1, halt,
             )
-        info = jnp.where((i >= maxiter) & (info != -1), i, info)
-        # NaN energies signal a broken metric; fail fast instead of cycling.
-        info = jnp.where(jnp.isnan(energy), -1, info)
+            halt = jnp.where(jnp.isnan(energy) & (halt == 0), -1, halt)
+            info = jnp.where(
+                i >= maxiter,
+                jnp.where(halt != 0, halt, jnp.where(conv, 0, i)),
+                info,
+            )
+        else:
+            halt = v["halt"]
+            info = jnp.where(
+                (energy_diff < -eps * jnp.abs(energy)), -1, info
+            )
+            info = jnp.where(conv & (info != -1), 0, info)
+            info = jnp.where((i >= maxiter) & (info != -1), i, info)
+            # NaN energies: broken metric; fail fast instead of cycling.
+            info = jnp.where(jnp.isnan(energy), -1, info)
         # Non-positive curvature: keep the pre-step position (first
         # iteration: a gradient step scaled by gamma/|curv|) and finish.
         safe_abs_curv = jnp.where(curv == 0.0, 1.0, jnp.abs(curv))
@@ -186,9 +229,22 @@ def _static_cg(
         # Graceful by default (Newton-CG relies on the partial solution);
         # with `_raise_nonposdef` the breakdown becomes a failure code that
         # the callback / host-boundary check below turns into an exception.
-        info = jnp.where(nonpos_curv, -1 if _raise_nonposdef else 0, info)
+        if fixed_trips:
+            halt = jnp.where(
+                nonpos_curv & (halt == 0),
+                -1 if _raise_nonposdef else 1, halt,
+            )
+        else:
+            info = jnp.where(nonpos_curv, -1 if _raise_nonposdef else 0, info)
 
-        beta = jnp.maximum(0.0, gamma / prev_gamma)
+        # Guarded divisions: at the rounding floor (gamma, prev_gamma ->
+        # tiny) the unguarded ratios hit 0/0; the guards turn the step
+        # into a no-op instead of NaN (only reachable in fixed-trip mode,
+        # which iterates past convergence).
+        beta = jnp.where(
+            prev_gamma > tiny, jnp.maximum(0.0, gamma / jnp.where(
+                prev_gamma > tiny, prev_gamma, 1.0)), 0.0,
+        )
         d = tree_axpy(beta, d, z)
 
         if name is not None:
@@ -207,10 +263,19 @@ def _static_cg(
                 lambda op: None,
                 (i, energy, energy_diff),
             )
-        return {
+        new = {
             "info": info, "pos": pos, "r": r, "d": d, "z": z,
             "nit": i, "gamma": gamma, "energy": energy,
+            "conv": conv, "halt": halt,
         }
+        if fixed_trips:
+            # A halted (breakdown / non-positive-curvature) state idles
+            # through the remaining trips; converged state does NOT
+            # freeze (see above).
+            halted_prev = v["halt"] != 0
+            for k in ("pos", "r", "d", "z", "gamma", "energy"):
+                new[k] = where(halted_prev, v[k], new[k])
+        return new
 
     val = {
         "info": jnp.asarray(-2, dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
@@ -221,6 +286,8 @@ def _static_cg(
         "nit": jnp.asarray(0),
         "gamma": gamma0,
         "energy": energy0,
+        "conv": jnp.asarray(False),
+        "halt": jnp.asarray(0),
     }
     val["info"] = jnp.where(gamma0 == 0.0, 0, val["info"])
 

@@ -139,6 +139,18 @@ def _newton_cg(
         jnp.inf if old_fval is None else old_fval, dtype=jnp.asarray(energy0).dtype
     )
 
+    # Fixed-trip deterministic mode (see the matching block in
+    # `solvers/cg.py`): under `deterministic_reductions` the Newton loop
+    # always runs `maxiter` trips and records convergence instead of
+    # exiting on it — convergence must not condition ANY state change
+    # (freezing at the recorded trip is itself a knife-edge branch).
+    # Post-convergence trips idle naturally: the line search rejects or
+    # accepts near-tie steps of vanishing size.  Only a line-search
+    # failure BEFORE recorded convergence freezes the state (`halt`).
+    from ..config import get as _cfg_get
+
+    fixed_trips = bool(_cfg_get("deterministic_reductions"))
+
     def cond(v):
         return v["status"] < -1
 
@@ -152,6 +164,7 @@ def _newton_cg(
     def _body(v):
         pos, energy, g, old_e = v["pos"], v["energy"], v["g"], v["old_fval"]
         status, i = v["status"], v["nit"] + 1
+        conv_prev = v["conv"]
 
         # Inner CG tolerance derived from the Newton-scale energy decrease
         # (Newton's quadratic model and the CG energy live on the same
@@ -228,8 +241,17 @@ def _newton_cg(
             "new_pos": new_pos0, "new_energy": new_energy0, "new_g": new_g0,
         })
         ls_failed = ls["new_energy"] > energy + accept_tol
-        # On failure keep the previous point and stop.
-        status = jnp.where(ls_failed & (status == -2), -1, status)
+        if fixed_trips:
+            # pre-convergence line-search failure is a genuine stall ->
+            # freeze via halt; post-convergence failures are the expected
+            # plateau behavior (the iterate idles by construction)
+            halt = jnp.where(
+                ls_failed & ~conv_prev & (v["halt"] == 0), -1, v["halt"]
+            )
+        else:
+            halt = v["halt"]
+            # On failure keep the previous point and stop.
+            status = jnp.where(ls_failed & (status == -2), -1, status)
         new_pos = where(ls_failed, pos, ls["new_pos"])
         new_g = where(ls_failed, g, ls["new_g"])
         new_energy = jnp.where(ls_failed, energy, ls["new_energy"])
@@ -243,25 +265,40 @@ def _newton_cg(
             )
 
         min_cond = (ls["it"] < 2) & (i > miniter)
+        conv = jnp.asarray(False)
         if absdelta is not None:
             # `-accept_tol`: an accepted near-tie step (energy_diff a hair
             # negative within the margin) still counts as converged.
-            status = jnp.where(
+            conv |= (
                 (energy_diff >= -accept_tol) & (energy_diff < absdelta)
-                & min_cond & (status == -2),
-                0, status,
+                & min_cond
             )
-        status = jnp.where(
-            (descent_norm <= xtol) & (i > miniter) & (status == -2), 0, status
-        )
-        status = jnp.where((i >= maxiter) & (status == -2), i, status)
+        conv |= (descent_norm <= xtol) & (i > miniter)
+        conv |= conv_prev
+        if fixed_trips:
+            status = jnp.where(
+                i >= maxiter,
+                jnp.where(halt != 0, halt, jnp.where(conv, 0, i)),
+                status,
+            )
+        else:
+            status = jnp.where(conv & (status == -2), 0, status)
+            status = jnp.where((i >= maxiter) & (status == -2), i, status)
 
-        return {
+        new = {
             "pos": new_pos, "energy": new_energy, "g": new_g,
             "old_fval": energy, "status": status, "nit": i,
             "nfev": v["nfev"] + ls["it"] + 1,
             "nhev": v["nhev"] + cg_res.nfev,
+            "conv": conv, "halt": halt,
         }
+        if fixed_trips:
+            # a halted (stalled-line-search) state idles through the
+            # remaining fixed trips
+            halted_prev = v["halt"] != 0
+            for k in ("pos", "energy", "g", "old_fval"):
+                new[k] = where(halted_prev, v[k], new[k])
+        return new
 
     init = {
         "pos": x0,
@@ -272,6 +309,8 @@ def _newton_cg(
         "nit": jnp.asarray(0),
         "nfev": jnp.asarray(1),
         "nhev": jnp.asarray(0),
+        "conv": jnp.asarray(False),
+        "halt": jnp.asarray(0),
     }
     # A zero-iteration request degenerates to returning the input.
     if maxiter == 0:

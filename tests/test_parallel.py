@@ -222,12 +222,17 @@ def test_distributed_fft_module_never_gathers():
     assert "all_gather" not in inspect.getsource(dfft)
 
 
-def _field_sharded_vi_run(rng_data, mesh, sample_mode, nl_maxiter):
+def _field_sharded_vi_run(rng_data, mesh, sample_mode, nl_maxiter,
+                          budgets=(200, 100, 30, 150)):
     """One fused OptimizeVI.update of a 64^2 correlated field with the
-    pencil Hartley over the mesh's field axis."""
+    pencil Hartley over the mesh's field axis.  ``budgets`` = (draw CG,
+    nonlinear CG, KL Newton, KL CG) maxiters — deterministic-mode tests
+    pass smaller ones, since fixed-trip solvers always run the full
+    budget and bitwise cross-mesh equality does not require convergence."""
     from nifty_tpu.ops.distributed_fft import distributed_hartley
     from nifty_tpu.parallel import shard_position
 
+    draw_mi, nl_cg_mi, kl_mi, kl_cg_mi = budgets
     dims = (64, 64)
     data = jnp.asarray(rng_data)
     cfm = jft.CorrelatedFieldMaker("cf")
@@ -251,11 +256,12 @@ def _field_sharded_vi_run(rng_data, mesh, sample_mode, nl_maxiter):
     state = opt.init_state(
         jax.random.PRNGKey(7),
         n_samples=2,
-        draw_linear_kwargs=dict(cg_kwargs=dict(maxiter=200, absdelta=1e-13)),
+        draw_linear_kwargs=dict(
+            cg_kwargs=dict(maxiter=draw_mi, absdelta=1e-13)),
         nonlinearly_update_kwargs=dict(minimize_kwargs=dict(
-            xtol=1e-8, maxiter=nl_maxiter, cg_kwargs=dict(maxiter=100))),
+            xtol=1e-8, maxiter=nl_maxiter, cg_kwargs=dict(maxiter=nl_cg_mi))),
         kl_kwargs=dict(minimize_kwargs=dict(
-            xtol=1e-9, maxiter=30, cg_kwargs=dict(maxiter=150))),
+            xtol=1e-9, maxiter=kl_mi, cg_kwargs=dict(maxiter=kl_cg_mi))),
         sample_mode=sample_mode,
     )
     samples = jft.Samples(pos=pos, samples=None, keys=None)
@@ -419,44 +425,75 @@ def test_deterministic_mode_sample_parallel_draw_bitwise(
 
 def test_deterministic_mode_fused_linear_update_tight(rng, deterministic_mode):
     """The full fused linear update across a samples x FIELD mesh under
-    deterministic mode.  Field sharding is our *extra* parallel axis (the
-    reference never shards a single field), and across field extents the
-    remaining divergence is set by solver *stopping-branch flips*: a
-    1-ulp fusion-layout difference near the CG absdelta threshold costs
-    one iteration, displacing the iterate by ~sqrt(absdelta) ~ 3e-7 here.
-    Reductions and stages themselves are bitwise (tests above); the
-    fused-update bound is the stopping tolerance, not the ulp scale."""
+    deterministic mode is bitwise (measured 0.0; asserted with margin for
+    XLA version drift).  Field sharding is our *extra* parallel axis (the
+    reference never shards a single field).  Round 4 measured ~1.8e-7
+    here and attributed it to stopping-branch flips near the CG absdelta
+    threshold; round 5's FIXED-TRIP solvers (every CG/NCG runs exactly
+    maxiter trips under deterministic mode, convergence recorded but
+    never acted on) removed the branch and with it the divergence."""
     data = rng.normal(size=(64, 64))
+    bud = (80, 40, 8, 60)
     s_sh, st_sh = _field_sharded_vi_run(
-        data, make_mesh(samples=2, field=4), "linear_resample", 0
+        data, make_mesh(samples=2, field=4), "linear_resample", 0,
+        budgets=bud,
     )
     s_si, st_si = _field_sharded_vi_run(
-        data, make_mesh(samples=1, field=1), "linear_resample", 0
+        data, make_mesh(samples=1, field=1), "linear_resample", 0,
+        budgets=bud,
     )
-    assert _max_leaf_err(s_sh.samples, s_si.samples) <= 1e-6
+    assert _max_leaf_err(s_sh.samples, s_si.samples) <= 1e-11
+    assert int(st_sh.minimization_state.nit) == int(st_si.minimization_state.nit)
     np.testing.assert_allclose(
         float(st_sh.minimization_state.fun),
-        float(st_si.minimization_state.fun), rtol=1e-8,
+        float(st_si.minimization_state.fun), rtol=1e-12,
     )
 
 
 def test_deterministic_mode_geovi_update_tight(rng, deterministic_mode):
-    """geoVI cross-mesh divergence under deterministic mode.  The linear
-    stage is bitwise (test above) and the geoVI functionals (value/grad,
-    metric, sample norm) are bitwise at fixed inputs; what remains is
-    ~1-ulp FMA-contraction differences between program layouts inside the
-    iterative solvers, amplified through data-dependent stopping branches
-    — measured 0.015-0.14 on the O(1)-std posterior scale depending on
-    solver budgets, with KL energies agreeing to ~1e-4 (statistically
-    identical posteriors)."""
+    """geoVI cross-mesh divergence under deterministic mode with the
+    round-5 fixed-trip solvers: measured 1.7e-14 on the samples and
+    9.1e-13 relative on the KL energy (was 0.015-0.14 / ~1e-4 in round 4
+    when stopping branches could flip between mesh layouts); asserted at
+    1e-9 for XLA-version-drift margin."""
     data = rng.normal(size=(64, 64))
+    bud = (80, 40, 8, 60)
     s_sh, st_sh = _field_sharded_vi_run(
-        data, make_mesh(samples=2, field=4), "nonlinear_resample", 10
+        data, make_mesh(samples=2, field=4), "nonlinear_resample", 5,
+        budgets=bud,
     )
     s_si, st_si = _field_sharded_vi_run(
-        data, make_mesh(samples=1, field=1), "nonlinear_resample", 10
+        data, make_mesh(samples=1, field=1), "nonlinear_resample", 5,
+        budgets=bud,
     )
     e_sh = float(st_sh.minimization_state.fun)
     e_si = float(st_si.minimization_state.fun)
-    assert abs(e_sh - e_si) / abs(e_si) < 5e-4
-    assert _max_leaf_err(s_sh.samples, s_si.samples) < 0.2
+    assert abs(e_sh - e_si) / abs(e_si) < 1e-9
+    assert _max_leaf_err(s_sh.samples, s_si.samples) < 1e-9
+
+
+def test_deterministic_mode_full_update_bitwise_samples_mesh(
+    rng, deterministic_mode
+):
+    """Full fused geoVI iteration (draw + curve + KL Newton-CG), SAMPLES
+    mesh only, 1-vs-N: the direct analog of the reference's CI invariant
+    of identical full-inference results with 1 vs 2 MPI ranks
+    (/root/reference/.gitlab-ci.yml:50-55, test/test_mpi/test_kl.py,
+    src/utilities.py:331-391) — samples are the only axis the reference
+    distributes.  Bitwise-to-~1e-14 under fixed-trip solvers (1e-9
+    asserted)."""
+    data = rng.normal(size=(64, 64))
+    bud = (80, 40, 8, 60)
+    s_sh, st_sh = _field_sharded_vi_run(
+        data, make_mesh(samples=2, field=1), "nonlinear_resample", 5,
+        budgets=bud,
+    )
+    s_si, st_si = _field_sharded_vi_run(
+        data, make_mesh(samples=1, field=1), "nonlinear_resample", 5,
+        budgets=bud,
+    )
+    assert _max_leaf_err(s_sh.samples, s_si.samples) < 1e-9
+    np.testing.assert_allclose(
+        float(st_sh.minimization_state.fun),
+        float(st_si.minimization_state.fun), rtol=1e-9,
+    )
