@@ -27,11 +27,28 @@ _config = {
     # reference's deterministic MPI allreduce, src/utilities.py:332-339).
     # Off by default: native reductions are faster single-chip.
     "deterministic_reductions": False,
+    # MIXED-PRECISION POLICY for accuracy-grade inference on TPU.  With
+    # "float32", harmonic transforms inside the correlated field run in
+    # f32 (inputs cast down, outputs cast back) while the latent state,
+    # pointwise nonlinearities, and energy reductions keep the ambient
+    # dtype.  Rationale (measured round 5, 64^2 CF geoVI): pure-f32
+    # inference mis-infers the power spectrum at intermediate k
+    # (posterior std inflated 1.4x, band powers 4-7x — the f32 Newton-CG
+    # stalls ~2.4x above the f64 optimum in energy), while x64 state with
+    # f32 transforms matches the f64 posterior within Monte-Carlo error
+    # (std ratio 1.05, all band powers within 1.2).  On TPU, complex128
+    # is unsupported in hardware anyway — so "float32" is the ONLY way to
+    # run x64-state inference on chip, and the recommended accuracy-grade
+    # configuration: jax.config.update("jax_enable_x64", True) plus
+    # nifty_tpu.config.update("transform_compute_dtype", "float32").
+    # None (default) keeps transforms in the ambient dtype.
+    "transform_compute_dtype": None,
 }
 
 _ALLOWED = {
     "hartley_convention": ("non_canonical_hartley", "canonical_hartley"),
     "deterministic_reductions": (True, False),
+    "transform_compute_dtype": (None, "float32"),
 }
 
 

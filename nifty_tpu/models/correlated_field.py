@@ -745,15 +745,32 @@ class CorrelatedFieldMaker:
                     sht_consts[f"sht{i}_{k}"] = jnp.asarray(v)
 
         def outer_harmonic_transform(x, c=None):
+            # Mixed-precision policy (config "transform_compute_dtype"):
+            # run the transform itself in f32 while the ambient dtype (and
+            # with it the latent state, nonlinearities, and energy
+            # reductions) stays f64.  On TPU this is the accuracy-grade
+            # mode — complex128 FFTs are unsupported in hardware — and it
+            # measurably recovers f64-quality posteriors (config.py).
+            from .. import config as _cfg
+
+            tcd = _cfg.get("transform_compute_dtype")
             for i, (dvol, tf, axes) in enumerate(transforms):
+                xin = x
+                if (
+                    tcd is not None
+                    and jnp.issubdtype(x.dtype, jnp.floating)
+                    and x.dtype != jnp.dtype(tcd)
+                ):
+                    xin = x.astype(tcd)
                 if sht_routed[i] and c is not None:
                     tc = {
                         k: c[f"sht{i}_{k}"]
                         for k in grids[i].harmonic_grid.transform_consts
                     }
-                    x = dvol * tf(x, axes=axes, consts=tc)
+                    y = tf(xin, axes=axes, consts=tc)
                 else:
-                    x = dvol * tf(x, axes=axes)
+                    y = tf(xin, axes=axes)
+                x = dvol * (y.astype(x.dtype) if y.dtype != x.dtype else y)
             return x
 
         # Distributor index maps.  Small maps ride as *static* numpy

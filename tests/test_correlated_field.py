@@ -299,3 +299,37 @@ def test_distributor_routing_by_scale(key):
     finally:
         jft.OptimizeVI.LH_AS_ARG_MIN_BYTES = saved2
     assert opt_big._lh_as_arg
+
+
+def test_transform_compute_dtype_policy():
+    """Mixed-precision policy (docs/design.md "Precision policy"): with
+    x64 ambient dtype and ``transform_compute_dtype="float32"``, the CF
+    output stays f64 (state/nonlinearities/energies keep the ambient
+    dtype) while the harmonic transform runs in f32 — outputs must agree
+    with the pure-f64 build to f32-rounding level, not bitwise."""
+    assert jax.config.jax_enable_x64
+
+    def build():
+        cfm = jft.CorrelatedFieldMaker("cf")
+        cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+        cfm.add_fluctuations(
+            (24, 24), distances=1.0 / 24, fluctuations=(1.0, 5e-1),
+            loglogavgslope=(-3.0, 2e-1), flexibility=(1e0, 5e-1),
+        )
+        return cfm.finalize()
+
+    cf = build()
+    x = cf.init(jax.random.PRNGKey(2))
+    a = jax.jit(cf)(x)
+    jft.config.update("transform_compute_dtype", "float32")
+    try:
+        b = jax.jit(build())(x)
+    finally:
+        jft.config.update("transform_compute_dtype", None)
+    assert a.dtype == jnp.float64 and b.dtype == jnp.float64
+    d = float(jnp.abs(a - b).max())
+    assert 0.0 < d < 1e-4, d  # f32 transform rounding, not f64-bitwise
+    import pytest
+
+    with pytest.raises(ValueError):
+        jft.config.update("transform_compute_dtype", "bfloat16")
