@@ -42,7 +42,7 @@ import numpy as np
 N_FINAL_PAIRS = 48
 
 WORKER = r"""
-import sys, json
+import sys, json, time
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -92,6 +92,7 @@ truth = np.asarray(jax.jit(cf)(truth_pos), dtype=np.float64)
 data = jnp.asarray(truth + 0.1 * rng.standard_normal(dims))
 lh = jft.Gaussian(data, noise_cov_inv=lambda x: x / 0.01).amend(cf)
 
+t0 = time.perf_counter()
 samples, state = jft.optimize_kl(
     lh,
     jax.tree_util.tree_map(  # same start on both platforms (host RNG)
@@ -111,10 +112,12 @@ samples, state = jft.optimize_kl(
         xtol=1e-5, maxiter=12, cg_kwargs=dict(maxiter=60))),
     sample_mode="nonlinear_resample",
 )
+wall = time.perf_counter() - t0
 fields = np.stack([np.asarray(cf(s), dtype=np.float64) for s in samples])
 out = {"fields": fields.tolist(),
        "kl_nit": int(state.minimization_state.nit),
-       "energy": float(state.minimization_state.fun)}
+       "energy": float(state.minimization_state.fun),
+       "wall_s": wall}
 with open(f"/tmp/f32check_{platform}.json", "w") as f:
     json.dump(out, f)
 print("done", platform)
@@ -204,6 +207,8 @@ def main():
         "band_power_ratio": [round(float(r), 4) for r in bp_ratio],
         "band_power_ratio_se": [round(float(r), 4) for r in se],
         "kl_newton_steps": [tpu["kl_nit"], cpu["kl_nit"]],
+        "wall_s": [round(tpu.get("wall_s", -1), 1),
+                   round(cpu.get("wall_s", -1), 1)],
         "energy_f32": tpu["energy"],
         "energy_f64": cpu["energy"],
         # Acceptance (VERDICT r4 #1): means within the posterior scale,

@@ -46,29 +46,37 @@ def timed(fn, n=5):
 def run(shape, npts, width=8):
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=shape), jnp.float32)
-    coords = jnp.asarray(
-        rng.uniform(-shape[0] / 2, shape[0] / 2, size=(npts, 2)), jnp.float32
-    )
+    # coords stays HOST numpy: closing a jit over a TPU-resident array
+    # makes JAX pull it back for constant embedding, which died with
+    # UNIMPLEMENTED on the axon backend; a numpy constant (or a runtime
+    # argument, used for img/vis) avoids the transfer entirely.
+    coords = rng.uniform(-shape[0] / 2, shape[0] / 2,
+                         size=(npts, 2)).astype(np.float32)
     vis = jnp.asarray(
         rng.normal(size=npts) + 1j * rng.normal(size=npts), jnp.complex64
     )
 
+    rec = {"probe": "nufft_throughput", "shape": list(shape),
+           "npts": npts, "width": width}
+
+    def leg(label, fn):
+        try:
+            t = timed(fn)
+            rec[f"{label}_s"] = t
+            rec[f"{label}_vis_per_s"] = npts / t
+        except Exception as e:
+            rec[f"{label}_error"] = repr(e)[:160]
+
     f2 = jax.jit(lambda im: nufft2(im, coords, width=width))
-    t2 = timed(lambda: f2(img))
+    leg("type2", lambda: f2(img))
     f1 = jax.jit(lambda v: nufft1(shape, v, coords, width=width))
-    t1 = timed(lambda: f1(vis))
+    leg("type1", lambda: f1(vis))
 
     # sorted-uv RadioResponse (the production path)
-    rr = RadioResponse(shape, np.asarray(coords), width=width)
+    rr = RadioResponse(shape, coords, width=width)
     fr = jax.jit(rr)
-    tr = timed(lambda: fr(img))
-    return {
-        "probe": "nufft_throughput", "shape": list(shape), "npts": npts,
-        "width": width,
-        "type2_s": t2, "type2_vis_per_s": npts / t2,
-        "type1_s": t1, "type1_vis_per_s": npts / t1,
-        "radio_response_sorted_s": tr, "radio_response_vis_per_s": npts / tr,
-    }
+    leg("radio_response_sorted", lambda: fr(img))
+    return rec
 
 
 def main():

@@ -83,6 +83,20 @@ def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8):
     shape = image.shape
     d = len(shape)
     coords = jnp.asarray(coords)
+    # Mixed-precision policy (config "transform_compute_dtype"): run the
+    # FFT+window interpolation in f32/c64 while callers keep x64 state.
+    # On TPU complex128 does not exist in hardware, so this is required
+    # for any x64 radio pipeline on chip.
+    from .. import config as _cfg
+
+    tcd = _cfg.get("transform_compute_dtype")
+    out_dtype = None
+    if tcd is not None and image.dtype in (jnp.float64, jnp.complex128):
+        out_dtype = jnp.complex128
+        image = image.astype(
+            jnp.complex64 if jnp.iscomplexobj(image) else jnp.float32
+        )
+        coords = coords.astype(jnp.float32)
     n_os = [int(np.round(sigma * n)) for n in shape]
     beta = _es_beta(sigma, width)
 
@@ -122,7 +136,8 @@ def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8):
             return jnp.sum(sub * w)
         raise NotImplementedError("nufft supports up to 3 dimensions")
 
-    return jax.vmap(interp_point)(coords)
+    out = jax.vmap(interp_point)(coords)
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def nufft1(shape, values, coords, *, sigma: float = 2.0, width: int = 8):

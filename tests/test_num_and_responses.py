@@ -682,3 +682,26 @@ def test_meanfield_vi_sample_sharded_loss(rng, key):
                     jax.tree_util.tree_leaves(grad_local)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10,
                                    atol=1e-12)
+
+
+def test_nufft_transform_compute_dtype_policy(rng):
+    """Mixed-precision policy: with x64 ambient and
+    transform_compute_dtype='float32', the NUFFT computes in f32/c64
+    (required on TPU — complex128 has no hardware support) while callers
+    keep complex128 state; results agree with the f64 path at f32-window
+    accuracy."""
+    from nifty_tpu.ops.nufft import nufft1, nufft2
+
+    img = jnp.asarray(rng.normal(size=(32, 32)))
+    coords = jnp.asarray(rng.uniform(-16, 16, size=(200, 2)))
+    v64 = nufft2(img, coords, width=8)
+    jft.config.update("transform_compute_dtype", "float32")
+    try:
+        v32 = nufft2(img, coords, width=8)
+        img32 = nufft1((32, 32), v32, coords, width=8)
+    finally:
+        jft.config.update("transform_compute_dtype", None)
+    assert v32.dtype == jnp.complex128
+    assert img32.dtype == jnp.complex128
+    rel = float(jnp.abs(v32 - v64).max() / jnp.abs(v64).max())
+    assert 0.0 < rel < 5e-5, rel  # f32 window/FFT rounding, not bitwise
