@@ -71,6 +71,12 @@ def main():
         key=key,
         n_total_iterations=n_iters,
         n_samples=n_samples,
+        # At nside=256 the synthesis transients are npix-scale: the
+        # scan-over-samples path bounds peak memory to one sample's
+        # solver state (the latent count alone would not trigger the
+        # auto-smap threshold).
+        residual_map="vmap" if small else "smap",
+        kl_map="vmap" if small else "smap",
         draw_linear_kwargs=dict(cg_kwargs=dict(maxiter=60)),
         nonlinearly_update_kwargs=dict(
             minimize_kwargs=dict(xtol=1e-3, maxiter=3,

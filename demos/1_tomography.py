@@ -121,6 +121,7 @@ def main_at_scale(dims=(256, 256, 256), n_rays=1024, n_iters=3):
         pos=jft.random_like(sk, lh.domain), samples=None, keys=None
     )
     times = []
+    debug = "--debug" in sys.argv
     for i in range(n_iters):
         t0 = time.perf_counter()
         samples, state = opt.update(samples, state)
@@ -129,6 +130,19 @@ def main_at_scale(dims=(256, 256, 256), n_rays=1024, n_iters=3):
         times.append(dt)
         print(f"iter {i + 1}: {dt:.1f}s  "
               f"KL energy {float(state.minimization_state.fun):.4e}")
+        if debug:
+            import numpy as _np
+
+            st = state.sample_state
+            codes = getattr(st, "nit", st)
+            print("  sampler state:", _np.asarray(codes).tolist())
+            for k, v in samples.pos.items():
+                a = _np.asarray(v)
+                print(f"  |pos[{k}]| max {_np.abs(a).max():.3e} "
+                      f"finite {bool(_np.isfinite(a).all())}")
+            r = _np.asarray(jax.jit(lambda s_: cf(s_))(samples.pos))
+            print(f"  cf(pos): max {_np.abs(r).max():.3e} "
+                  f"finite {bool(_np.isfinite(r).all())}")
     print(f"256^3 geoVI: {min(times):.2f} s/iter (warm), "
           f"{2 * 2 / min(times):.3f} samples/s")
     _, msg = jft.minisanity(samples, lh.normalized_residual, map="lmap")

@@ -31,6 +31,13 @@ from .sht import _unpack_alm_to_matrix, n_alm, normalized_legendre_table
 class HEALPixSHT:
     """Synthesis (and adjoint) between packed alm and a HEALPix map."""
 
+    #: m-block size of the longitude stage's scan.  The unchunked phase
+    #: matmul materializes (mmax+1, npix) intermediates — 3.2 GB complex
+    #: at nside=256, which multiplied by the VI sample batch OOMed HBM
+    #: (74 GB requested at compile).  Chunking over m bounds transients
+    #: to (M_CHUNK, npix) per step at identical FLOPs.
+    M_CHUNK = 64
+
     def __init__(self, lmax: int, nside: int, mmax: Optional[int] = None,
                  dtype=None):
         from .. import config
@@ -47,6 +54,13 @@ class HEALPixSHT:
                                             return_inverse=True)
         self._nrings = ring_theta.size
         lam = normalized_legendre_table(self.lmax, ring_theta, self.mmax)
+        # longitude-stage chunk plan (see M_CHUNK): phase tables are
+        # padded with zero columns to a whole number of chunks so the
+        # scan's dynamic slices never clamp
+        nm = self.mmax + 1
+        self._chunk = min(self.M_CHUNK, nm)
+        self._n_chunks = -(-nm // self._chunk)
+        self._m_padded = self._n_chunks * self._chunk
         ms = np.arange(self.mmax + 1)
         # Precomputed tables live in `consts` so they can enter compiled
         # programs as RUNTIME ARGUMENTS rather than HLO constants: at
@@ -58,8 +72,12 @@ class HEALPixSHT:
         self.consts = {
             "lam": jnp.asarray(lam, dtype=dtype),  # (mmax+1, nrings, lmax+1)
             "ring_of_pix": jnp.asarray(ring_of_pix.astype(np.int32)),
-            "cos": jnp.asarray(np.cos(phi[:, None] * ms[None, :]), dtype=dtype),
-            "sin": jnp.asarray(np.sin(phi[:, None] * ms[None, :]), dtype=dtype),
+            "cos": jnp.asarray(np.pad(
+                np.cos(phi[:, None] * ms[None, :]),
+                ((0, 0), (0, self._m_padded - nm))), dtype=dtype),
+            "sin": jnp.asarray(np.pad(
+                np.sin(phi[:, None] * ms[None, :]),
+                ((0, 0), (0, self._m_padded - nm))), dtype=dtype),
         }
         # quadrature weights: equal-area pixels
         self._w = 4.0 * np.pi / self.npix
@@ -95,6 +113,9 @@ class HEALPixSHT:
     def n_alm(self):
         return n_alm(self.lmax, self.mmax)
 
+    def _chunk_plan(self):
+        return self.mmax + 1, self._n_chunks, self._m_padded
+
     def alm2map(self, alm, consts=None):
         """Synthesis: packed complex alm -> HEALPix map (ring order)."""
         t = self.consts if consts is None else consts
@@ -106,19 +127,68 @@ class HEALPixSHT:
         c = jnp.concatenate([
             jnp.ones((1,), self._dtype), 2.0 * jnp.ones((self.mmax,), self._dtype)
         ])
-        Fp = (c[:, None] * F)[:, t["ring_of_pix"]]  # (mmax+1, npix)
-        return jnp.einsum(
-            "pm,mp->p", t["cos"], Fp.real,
-            precision=jax.lax.Precision.HIGHEST,
-        ) - jnp.einsum(
-            "pm,mp->p", t["sin"], Fp.imag,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        Fc = c[:, None] * F
+        nm, n_chunks, padded = self._chunk_plan()
+        B = self._chunk
+        Fre = jnp.zeros((padded, self._nrings), Fc.real.dtype).at[:nm].set(
+            Fc.real).reshape(n_chunks, B, self._nrings)
+        Fim = jnp.zeros((padded, self._nrings), Fc.real.dtype).at[:nm].set(
+            Fc.imag).reshape(n_chunks, B, self._nrings)
+        rp = t["ring_of_pix"]
+        cos, sin = t["cos"], t["sin"]
+        npix = self.npix
+
+        def step(acc, xs):
+            fre, fim, m0 = xs
+            cchunk = jax.lax.dynamic_slice_in_dim(cos, m0, B, axis=1)
+            schunk = jax.lax.dynamic_slice_in_dim(sin, m0, B, axis=1)
+            fre_p = fre[:, rp]  # (B, npix)
+            fim_p = fim[:, rp]
+            acc = acc + jnp.einsum(
+                "pb,bp->p", cchunk, fre_p,
+                precision=jax.lax.Precision.HIGHEST,
+            ) - jnp.einsum(
+                "pb,bp->p", schunk, fim_p,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return acc, None
+
+        m0s = jnp.arange(n_chunks, dtype=jnp.int32) * B
+        acc0 = jnp.zeros((npix,), Fc.real.dtype)
+        out, _ = jax.lax.scan(step, acc0, (Fre, Fim, m0s))
+        return out
 
     def alm2map_jit(self, alm):
         return self._jitted(
             "alm2map", lambda t, a: self.alm2map(a, consts=t)
         )(self.consts, alm)
+
+    def _phase_analysis(self, mw, t):
+        """Longitude-stage adjoint, m-chunked: weighted map ->
+        F (mmax+1, nrings) complex (see M_CHUNK)."""
+        nm, n_chunks, padded = self._chunk_plan()
+        B = self._chunk
+        rp = t["ring_of_pix"]
+        cos, sin = t["cos"], t["sin"]
+        npix, nr = self.npix, self._nrings
+
+        def step(_, m0):
+            cchunk = jax.lax.dynamic_slice_in_dim(cos, m0, B, axis=1)
+            schunk = jax.lax.dynamic_slice_in_dim(sin, m0, B, axis=1)
+            re = jnp.einsum("pb,p->bp", cchunk, mw,
+                            precision=jax.lax.Precision.HIGHEST)
+            im = -jnp.einsum("pb,p->bp", schunk, mw,
+                             precision=jax.lax.Precision.HIGHEST)
+            # sum over pixels per ring (transpose of the ring gather)
+            Fre = jax.vmap(lambda row: jax.ops.segment_sum(
+                row, rp, num_segments=nr))(re)
+            Fim = jax.vmap(lambda row: jax.ops.segment_sum(
+                row, rp, num_segments=nr))(im)
+            return None, Fre + 1j * Fim
+
+        m0s = jnp.arange(n_chunks, dtype=jnp.int32) * B
+        _, Fs = jax.lax.scan(step, None, m0s)
+        return Fs.reshape(padded, nr)[:nm]
 
     def map2alm_adjoint(self, m_arr, consts=None):
         """Exact adjoint of synthesis, quadrature-weighted: ≈ analysis for
@@ -128,17 +198,7 @@ class HEALPixSHT:
         c = jnp.concatenate([
             jnp.ones((1,), self._dtype), 2.0 * jnp.ones((self.mmax,), self._dtype)
         ])
-        re = jnp.einsum("pm,p->mp", t["cos"], mw,
-                        precision=jax.lax.Precision.HIGHEST)
-        im = -jnp.einsum("pm,p->mp", t["sin"], mw,
-                         precision=jax.lax.Precision.HIGHEST)
-        Fp = re + 1j * im  # (mmax+1, npix)
-        # sum over pixels per ring (transpose of the ring gather)
-        F = jax.vmap(
-            lambda row: jax.ops.segment_sum(
-                row, t["ring_of_pix"], num_segments=self._nrings
-            )
-        )(Fp)
+        F = self._phase_analysis(mw, t)
         A = jnp.einsum("mtl,mt->ml", t["lam"], F * c[:, None],
                        precision=jax.lax.Precision.HIGHEST)
         from .sht import _pack_matrix_to_alm
@@ -199,16 +259,7 @@ class HEALPixSHT:
         rw = jnp.asarray(self._get_ring_weights(), dtype=self._dtype)
         corr = rw[t["ring_of_pix"]]
         mw = m_arr * corr * self._w
-        re = jnp.einsum("pm,p->mp", t["cos"], mw,
-                        precision=jax.lax.Precision.HIGHEST)
-        im = -jnp.einsum("pm,p->mp", t["sin"], mw,
-                         precision=jax.lax.Precision.HIGHEST)
-        Fp = re + 1j * im
-        F = jax.vmap(
-            lambda row: jax.ops.segment_sum(
-                row, t["ring_of_pix"], num_segments=self._nrings
-            )
-        )(Fp)
+        F = self._phase_analysis(mw, t)
         # NOTE: no (1, 2, 2, ...) fold factor here — that belongs to the
         # *synthesis* (folding the ±m pair of a real map); the quadrature
         # analysis integrates e^{-imφ} directly.

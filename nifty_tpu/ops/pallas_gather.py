@@ -457,7 +457,8 @@ def _use_mxu(nb, n_elems, dtype, batched_idx):
         return False
     if n_elems > _MXU_MAX_ELEMS:
         return False
-    return jnp.issubdtype(dtype, jnp.floating)
+    # f32 only (see _use_pallas): f64 rides the XLA route
+    return jnp.issubdtype(dtype, jnp.floating) and jnp.dtype(dtype).itemsize <= 4
 
 
 def _on_tpu():
@@ -478,8 +479,14 @@ def _on_tpu():
 bin_gather_p = jax.extend.core.Primitive("bin_gather")
 
 
-def _use_pallas(nb, nbatch=1):
+def _use_pallas(nb, nbatch=1, dtype=None):
     if not (_on_tpu() or _INTERPRET):
+        return False
+    # f64 tables (the x64/mixed accuracy mode) take the XLA route: the
+    # TPU kernels are built for the f32 speed path, and f64 Pallas
+    # lowering trips a jax-internal recursion on this backend.  The
+    # accuracy mode trades speed by definition.
+    if dtype is not None and jnp.dtype(dtype).itemsize > 4:
         return False
     cap = SMALL_TABLE_MAX_BINS if nbatch > 1 else WIDE_TABLE_MAX_BINS
     return nb <= cap
@@ -491,7 +498,7 @@ def _gather_impl(table, idx, *, batched_idx=False):
     n_elems = int(np.prod(event, dtype=np.int64)) if event else 1
     if _use_mxu(nb, n_elems, table.dtype, batched_idx):
         return _pallas_gather_mxu(table, idx).reshape((nbatch,) + event)
-    if not _use_pallas(nb, nbatch):
+    if not _use_pallas(nb, nbatch, table.dtype):
         if batched_idx:
             return jax.vmap(lambda t, i_: jnp.take(t, i_, axis=0))(table, idx)
         return jnp.take(table, idx, axis=1)
@@ -549,7 +556,11 @@ def _scatter_impl(cot, idx, nb, *, batched_idx=False):
     if _use_mxu(nb, n_elems, cot.dtype, batched_idx):
         return _pallas_scatter_mxu(cot.reshape(nbatch, -1), idx, nb)
     scatter_cap = SCATTER_MAX_BINS if nbatch > 1 else WIDE_TABLE_MAX_BINS
-    if not ((_on_tpu() or _INTERPRET) and nb <= scatter_cap):
+    if not (
+        (_on_tpu() or _INTERPRET)
+        and nb <= scatter_cap
+        and jnp.dtype(cot.dtype).itemsize <= 4  # f64 -> XLA (see _use_pallas)
+    ):
         if batched_idx:
             return jax.vmap(
                 lambda c, i_: jax.ops.segment_sum(
@@ -996,14 +1007,14 @@ def distribute_power(table, idx):
         # fixed-association scatter transpose keeps the mesh-independence
         # promise (XLA's autodiff scatter-add would not).
         if table.ndim == 1 and (
-            _use_pallas(table.shape[0])
+            _use_pallas(table.shape[0], dtype=table.dtype)
             or _use_mxu(table.shape[0], idx.size, table.dtype, False)
             or _config.get("deterministic_reductions")
         ):
             return bin_gather(table, idx)
         return table[idx]
     if table.ndim == 1 and (
-        _use_pallas(table.shape[0])
+        _use_pallas(table.shape[0], dtype=table.dtype)
         or _use_mxu(table.shape[0], np.asarray(idx).size, table.dtype, False)
         # Deterministic mode: the primitive's transpose routes through the
         # fixed-association scatter for *any* table size (the XLA
