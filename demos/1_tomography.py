@@ -117,8 +117,14 @@ def main_at_scale(dims=(256, 256, 256), n_rays=1024, n_iters=3):
         sample_mode="nonlinear_resample",
     )
     key, sk = jax.random.split(key)
+    # conservative start (0.1x prior draw): at 16.8M dof a full prior
+    # start let the first KL update jump ~25 sigma on the slope latent,
+    # blowing the k^slope amplitude into f32 overflow (debug run 2026-08)
     samples = jft.Samples(
-        pos=jft.random_like(sk, lh.domain), samples=None, keys=None
+        pos=jax.tree_util.tree_map(
+            lambda x: 0.1 * x, jft.random_like(sk, lh.domain)
+        ),
+        samples=None, keys=None,
     )
     times = []
     debug = "--debug" in sys.argv

@@ -10,11 +10,14 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+if os.environ.get("NO_JAX_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -52,8 +55,11 @@ def run(shape, npts, width=8):
     # argument, used for img/vis) avoids the transfer entirely.
     coords = rng.uniform(-shape[0] / 2, shape[0] / 2,
                          size=(npts, 2)).astype(np.float32)
-    vis = jnp.asarray(
-        rng.normal(size=npts) + 1j * rng.normal(size=npts), jnp.complex64
+    # complex host->device transfers are unimplemented on this runtime;
+    # build the complex visibilities ON device from two real arrays
+    vis = jax.jit(lambda a, b: a + 1j * b)(
+        jnp.asarray(rng.normal(size=npts), jnp.float32),
+        jnp.asarray(rng.normal(size=npts), jnp.float32),
     )
 
     rec = {"probe": "nufft_throughput", "shape": list(shape),

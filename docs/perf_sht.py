@@ -11,11 +11,14 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+if os.environ.get("NO_JAX_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -101,13 +104,26 @@ def gl(lmax, on_the_fly=False):
         lambda c, mm: sht.alm2map(sht.map2alm(
             mm, **({"consts": c} if c else {})), **({"consts": c} if c else {})),
         consts, m)
-    # round-trip accuracy (analysis exact on GL grid)
-    alm_c = jax.jit(sht.real2alm)(alm)
-    a2m = (sht.alm2map_jit if hasattr(sht, "alm2map_jit")
-           else jax.jit(sht.alm2map))
-    rt = np.asarray(ana(a2m(alm_c)))
-    err = float(np.abs(rt - np.asarray(alm_c)).max()
-                / max(np.abs(np.asarray(alm_c)).max(), 1e-30))
+    # round-trip accuracy (analysis exact on GL grid), computed ON
+    # device (complex device->host transfers are unimplemented here),
+    # with the tables as runtime arguments (constant-baking overflows
+    # the remote compile at lmax>=512)
+    if hasattr(sht, "consts"):
+        def _rt_err(c, a):
+            alm_c = sht.real2alm(a)
+            rt = sht.map2alm(sht.alm2map(alm_c, consts=c), consts=c)
+            return (jnp.abs(rt - alm_c).max()
+                    / jnp.maximum(jnp.abs(alm_c).max(), 1e-30))
+
+        err = float(jax.jit(_rt_err)(sht.consts, alm))
+    else:
+        def _rt_err(a):
+            alm_c = sht.real2alm(a)
+            rt = sht.map2alm(sht.alm2map(alm_c))
+            return (jnp.abs(rt - alm_c).max()
+                    / jnp.maximum(jnp.abs(alm_c).max(), 1e-30))
+
+        err = float(jax.jit(_rt_err)(alm))
     return {
         "probe": "gl_sht" + ("_otf" if on_the_fly else ""),
         "lmax": lmax, "grid": list(getattr(sht, "grid_shape", (0, 0))),

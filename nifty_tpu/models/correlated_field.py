@@ -809,6 +809,20 @@ class CorrelatedFieldMaker:
             f"power_distributor_{i}": jnp.asarray(d)
             for i, (d, r) in enumerate(zip(distributors, as_runtime)) if r
         }
+        # Sorted-adjoint auxiliaries for grid-scale runtime maps: the XLA
+        # scatter-add transpose of the distributor gather costs ~36 ms at
+        # 4096^2-unbinned per metric matvec; the sorted segment-sum with
+        # a host-precomputed permutation costs ~0.05 ms (docs/perf.md).
+        from ..ops.pallas_gather import sorted_scatter_aux
+
+        dist_aux = tuple(
+            sorted_scatter_aux(d) if r else None
+            for d, r in zip(distributors, as_runtime)
+        )
+        for i, a in enumerate(dist_aux):
+            if a is not None:
+                consts[f"pd_perm_{i}"] = jnp.asarray(a["perm"])
+                consts[f"pd_sorted_{i}"] = jnp.asarray(a["sorted_ids"])
         consts.update(sht_consts)
         consts = consts or None
 
@@ -818,14 +832,24 @@ class CorrelatedFieldMaker:
                 for i, (d, r) in enumerate(zip(distributors, as_runtime))
             )
 
-        def distribute_subgrid(t, dist, g, uq):
-            amp = distribute_power(t, dist)
+        def resolve_dist_aux(c):
+            if c is None:
+                return (None,) * len(dist_aux)
+            return tuple(
+                {"perm": c[f"pd_perm_{i}"],
+                 "sorted_ids": c[f"pd_sorted_{i}"]}
+                if a is not None else None
+                for i, a in enumerate(dist_aux)
+            )
+
+        def distribute_subgrid(t, dist, g, uq, aux=None):
+            amp = distribute_power(t, dist, sorted_aux=aux)
             if uq:
                 for ax, n in enumerate(g.harmonic_grid.shape):
                     amp = _mirror_expand(amp, ax, n)
             return amp
 
-        def outer_amplitude(dists, p, scale=None):
+        def outer_amplitude(dists, auxs, p, scale=None):
             # The zero-mode scalar multiplies the *small* amplitude table
             # before distribution: `azm * gather(t) == gather(azm * t)`
             # bitwise (identical per-element products), it saves one
@@ -835,19 +859,23 @@ class CorrelatedFieldMaker:
             t0 = namps[0](p)
             if scale is not None:
                 t0 = scale * t0
-            outer = distribute_subgrid(t0, dists[0], grids[0], use_quarter[0])
-            for amp, dist, g, uq in zip(
-                namps[1:], dists[1:], grids[1:], use_quarter[1:]
+            outer = distribute_subgrid(
+                t0, dists[0], grids[0], use_quarter[0], auxs[0]
+            )
+            for amp, dist, g, uq, aux in zip(
+                namps[1:], dists[1:], grids[1:], use_quarter[1:], auxs[1:]
             ):
                 outer = jnp.tensordot(
-                    outer, distribute_subgrid(amp(p), dist, g, uq), axes=0
+                    outer, distribute_subgrid(amp(p), dist, g, uq, aux),
+                    axes=0,
                 )
             return outer
 
         def correlated_field(*args):
             c, p = args if consts is not None else (None, *args)
             dists = resolve_distributors(c) if c is not None else distributors
-            ea = outer_amplitude(dists, p, scale=azm(p))
+            auxs = resolve_dist_aux(c)
+            ea = outer_amplitude(dists, auxs, p, scale=azm(p))
             cf_h = ea * p[pfx]
             return offset_mean + outer_harmonic_transform(cf_h, c)
 
@@ -878,9 +906,10 @@ class CorrelatedFieldMaker:
                 dists = (
                     resolve_distributors(c) if c is not None else distributors
                 )
+                auxs = resolve_dist_aux(c)
 
                 def field_one(pset, xi):
-                    ea = outer_amplitude(dists, pset, scale=azm(pset))
+                    ea = outer_amplitude(dists, auxs, pset, scale=azm(pset))
                     cf_h = ea * xi
                     return offset_mean + outer_harmonic_transform(cf_h, c)
 

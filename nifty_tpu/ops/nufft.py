@@ -198,9 +198,13 @@ class RadioResponse(Model):
             w_idx = np.clip(np.digitize(w, w_edges) - 1, 0, n_w_planes - 1)
             sort_keys = sort_keys + [w_idx]
         self._sort = np.lexsort(tuple(sort_keys))
-        self._unsort = jnp.asarray(np.argsort(self._sort))
+        # Closure constants stay HOST numpy: they embed into programs as
+        # HLO literals.  Device-resident closure arrays would be pulled
+        # back at lowering for constant embedding, a transfer the axon
+        # TPU runtime does not implement for some layouts.
+        self._unsort = np.argsort(self._sort)
         uv = uv[self._sort]
-        self._uv = jnp.asarray(uv)
+        self._uv = uv
         self._sigma, self._width = sigma, width
         if w is not None:
             w_idx = w_idx[self._sort]
@@ -219,7 +223,7 @@ class RadioResponse(Model):
                 indexing="ij",
             )
             n_term = np.sqrt(np.maximum(1.0 - lm[0] ** 2 - lm[1] ** 2, 0.0)) - 1.0
-            self._n_term = jnp.asarray(n_term)
+            self._n_term = n_term  # host constant (see note above)
             self._w = w
         super().__init__(
             domain=ShapeWithDtype(self._shape, dtype),

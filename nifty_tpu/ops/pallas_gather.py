@@ -457,8 +457,10 @@ def _use_mxu(nb, n_elems, dtype, batched_idx):
         return False
     if n_elems > _MXU_MAX_ELEMS:
         return False
-    # f32 only (see _use_pallas): f64 rides the XLA route
-    return jnp.issubdtype(dtype, jnp.floating) and jnp.dtype(dtype).itemsize <= 4
+    # f32 only on real TPU (see _use_pallas): f64 rides the XLA route
+    return jnp.issubdtype(dtype, jnp.floating) and (
+        jnp.dtype(dtype).itemsize <= 4 or _INTERPRET
+    )
 
 
 def _on_tpu():
@@ -482,11 +484,11 @@ bin_gather_p = jax.extend.core.Primitive("bin_gather")
 def _use_pallas(nb, nbatch=1, dtype=None):
     if not (_on_tpu() or _INTERPRET):
         return False
-    # f64 tables (the x64/mixed accuracy mode) take the XLA route: the
-    # TPU kernels are built for the f32 speed path, and f64 Pallas
-    # lowering trips a jax-internal recursion on this backend.  The
-    # accuracy mode trades speed by definition.
-    if dtype is not None and jnp.dtype(dtype).itemsize > 4:
+    # f64 tables (the x64/mixed accuracy mode) take the XLA route on
+    # real TPU: the kernels are built for the f32 speed path, and f64
+    # Pallas lowering trips a jax-internal recursion on this backend.
+    # Interpret mode (CPU tests) handles f64 fine.
+    if dtype is not None and jnp.dtype(dtype).itemsize > 4 and not _INTERPRET:
         return False
     cap = SMALL_TABLE_MAX_BINS if nbatch > 1 else WIDE_TABLE_MAX_BINS
     return nb <= cap
@@ -559,7 +561,8 @@ def _scatter_impl(cot, idx, nb, *, batched_idx=False):
     if not (
         (_on_tpu() or _INTERPRET)
         and nb <= scatter_cap
-        and jnp.dtype(cot.dtype).itemsize <= 4  # f64 -> XLA (see _use_pallas)
+        # f64 -> XLA on real TPU (see _use_pallas)
+        and (jnp.dtype(cot.dtype).itemsize <= 4 or _INTERPRET)
     ):
         if batched_idx:
             return jax.vmap(
@@ -990,14 +993,171 @@ def bin_gather(table, idx, nbins=None):
     return bin_gather_p.bind(table[None], jnp.asarray(idx))[0]
 
 
-def distribute_power(table, idx):
+# -- sorted-adjoint gather (huge unbinned tables) ---------------------------
+#
+# For grid-scale distributor maps (1.2M unique modes at 4096^2) the
+# forward XLA gather with the index map as a RUNTIME ARGUMENT runs at
+# bandwidth speed (~0.06 ms for 4.2M elements on this chip), but its
+# autodiff transpose — XLA scatter-add — costs ~36 ms regardless of how
+# the indices ride.  The distributor's occurrences sorted by bin are
+# contiguous segments, so with a host-precomputed sorting permutation the
+# exact transpose is ``segment_sum(cot[perm], sorted_ids,
+# indices_are_sorted=True)`` — measured 0.04-0.08 ms (docs/perf.md).
+# Registered as a primitive pair so jvp/linearize/linear_transpose all
+# preserve the fast adjoint (the metric matvec applies it per CG step).
+
+sorted_gather_p = jax.extend.core.Primitive("sorted_bin_gather")
+sorted_scatter_p = jax.extend.core.Primitive("sorted_bin_scatter")
+
+
+def sorted_bin_gather(table, idx, perm, sorted_ids):
+    """``table[idx]`` whose transpose is the sorted-segment sum.
+
+    ``perm`` is ``argsort(idx.ravel())`` and ``sorted_ids`` its image —
+    both precomputed on host and shipped as runtime buffers
+    (``Model.consts``) next to ``idx``.
+    """
+    return sorted_gather_p.bind(table, idx, perm, sorted_ids)
+
+
+def _sorted_gather_impl(table, idx, perm, sorted_ids):
+    del perm, sorted_ids
+    return table[idx]
+
+
+def _sorted_scatter_impl(cot, idx, perm, sorted_ids, *, nb):
+    del idx
+    return jax.ops.segment_sum(
+        cot.ravel()[perm], sorted_ids, num_segments=nb,
+        indices_are_sorted=True,
+    )
+
+
+sorted_gather_p.def_impl(_sorted_gather_impl)
+sorted_gather_p.def_abstract_eval(
+    lambda table, idx, perm, sorted_ids: jax.core.ShapedArray(
+        idx.shape, table.dtype
+    )
+)
+sorted_scatter_p.def_impl(
+    lambda cot, idx, perm, sorted_ids, *, nb: _sorted_scatter_impl(
+        cot, idx, perm, sorted_ids, nb=nb
+    )
+)
+sorted_scatter_p.def_abstract_eval(
+    lambda cot, idx, perm, sorted_ids, *, nb: jax.core.ShapedArray(
+        (nb,), cot.dtype
+    )
+)
+
+
+def _sorted_gather_jvp(primals, tangents):
+    table, idx, perm, sorted_ids = primals
+    t_dot = tangents[0]
+    out = sorted_gather_p.bind(table, idx, perm, sorted_ids)
+    if isinstance(t_dot, ad.Zero):
+        return out, ad.Zero(jax.core.get_aval(out).to_tangent_aval())
+    return out, sorted_gather_p.bind(t_dot, idx, perm, sorted_ids)
+
+
+def _sorted_gather_transpose(ct, table, idx, perm, sorted_ids):
+    assert ad.is_undefined_primal(table)
+    if isinstance(ct, ad.Zero):
+        return ad.Zero(table.aval), None, None, None
+    nb = table.aval.shape[0]
+    out = sorted_scatter_p.bind(ct, idx, perm, sorted_ids, nb=nb)
+    return out.astype(table.aval.dtype), None, None, None
+
+
+def _sorted_scatter_jvp(primals, tangents, *, nb):
+    cot, idx, perm, sorted_ids = primals
+    c_dot = tangents[0]
+    out = sorted_scatter_p.bind(cot, idx, perm, sorted_ids, nb=nb)
+    if isinstance(c_dot, ad.Zero):
+        return out, ad.Zero(jax.core.get_aval(out).to_tangent_aval())
+    return out, sorted_scatter_p.bind(c_dot, idx, perm, sorted_ids, nb=nb)
+
+
+def _sorted_scatter_transpose(ct, cot, idx, perm, sorted_ids, *, nb):
+    assert ad.is_undefined_primal(cot)
+    if isinstance(ct, ad.Zero):
+        return ad.Zero(cot.aval), None, None, None
+    out = sorted_gather_p.bind(ct, idx, perm, sorted_ids)
+    return out.astype(cot.aval.dtype), None, None, None
+
+
+def _sorted_gather_batching(args, dims):
+    table, idx, perm, sorted_ids = args
+    td, idim, pd, sd = dims
+    assert idim is None and pd is None and sd is None, "index maps are shared"
+    table = jnp.moveaxis(table, td, 0)
+    out = jnp.stack([
+        sorted_gather_p.bind(table[i], idx, perm, sorted_ids)
+        for i in range(table.shape[0])
+    ])
+    return out, 0
+
+
+def _sorted_scatter_batching(args, dims, *, nb):
+    cot, idx, perm, sorted_ids = args
+    cd, idim, pd, sd = dims
+    assert idim is None and pd is None and sd is None, "index maps are shared"
+    cot = jnp.moveaxis(cot, cd, 0)
+    out = jnp.stack([
+        sorted_scatter_p.bind(cot[i], idx, perm, sorted_ids, nb=nb)
+        for i in range(cot.shape[0])
+    ])
+    return out, 0
+
+
+ad.primitive_jvps[sorted_gather_p] = _sorted_gather_jvp
+ad.primitive_transposes[sorted_gather_p] = _sorted_gather_transpose
+batching.primitive_batchers[sorted_gather_p] = _sorted_gather_batching
+mlir.register_lowering(
+    sorted_gather_p,
+    mlir.lower_fun(_sorted_gather_impl, multiple_results=False),
+)
+ad.primitive_jvps[sorted_scatter_p] = _sorted_scatter_jvp
+ad.primitive_transposes[sorted_scatter_p] = _sorted_scatter_transpose
+batching.primitive_batchers[sorted_scatter_p] = _sorted_scatter_batching
+mlir.register_lowering(
+    sorted_scatter_p,
+    mlir.lower_fun(
+        lambda cot, idx, perm, sorted_ids, *, nb: _sorted_scatter_impl(
+            cot, idx, perm, sorted_ids, nb=nb
+        ),
+        multiple_results=False,
+    ),
+)
+
+
+def sorted_scatter_aux(idx) -> dict:
+    """Host-precomputed auxiliary arrays for the sorted-adjoint gather."""
+    flat = np.asarray(idx).ravel()
+    perm = np.argsort(flat, kind="stable").astype(np.int32)
+    return {"perm": perm, "sorted_ids": flat[perm].astype(np.int32)}
+
+
+def distribute_power(table, idx, sorted_aux=None):
     """Power/amplitude distributor: small-table fast path, else XLA gather.
 
     The single entry point the correlated field uses; keeps one code path
     on CPU (plain gather) and picks the Pallas kernel on TPU only when the
-    table is small enough for the select loop to win.
+    table is small enough for the select loop to win.  ``sorted_aux``
+    (dict with ``perm``/``sorted_ids``, see :func:`sorted_scatter_aux`)
+    activates the sorted-adjoint route for grid-scale runtime index maps.
     """
     from .. import config as _config
+
+    if (
+        sorted_aux is not None
+        and isinstance(idx, jax.core.Tracer)
+        and not _config.get("deterministic_reductions")
+        and not _use_pallas(table.shape[0], dtype=table.dtype)
+    ):
+        return sorted_bin_gather(
+            table, idx, sorted_aux["perm"], sorted_aux["sorted_ids"]
+        )
 
     if isinstance(idx, jax.core.Tracer):
         # Traced index maps (models carrying the distributor as a runtime

@@ -281,9 +281,12 @@ def test_distributor_routing_by_scale(key):
     finally:
         jft.CorrelatedFieldMaker.RUNTIME_DIST_MIN_BYTES = saved
     assert big.consts is not None
-    (dist,) = big.consts.values()
+    dist = big.consts["power_distributor_0"]
     # quarter grid: axis lengths n//2+1
     assert dist.shape == (33, 33)
+    # sorted-adjoint auxiliaries ride alongside the index map (round 5)
+    assert big.consts["pd_perm_0"].shape == (dist.size,)
+    assert big.consts["pd_sorted_0"].shape == (dist.size,)
     # OptimizeVI stage binding follows the same scale split
     import jax.numpy as jnp
 

@@ -128,7 +128,7 @@ def test_vmapped_metric_cg_with_forced_primitive(monkeypatch):
 
     monkeypatch.setattr(
         cfm_mod, "distribute_power",
-        lambda table, idx: bin_gather(table, jnp.asarray(idx))
+        lambda table, idx, sorted_aux=None: bin_gather(table, jnp.asarray(idx))
         if table.ndim == 1 else table[idx],
     )
     cfm = jft.CorrelatedFieldMaker("cf")
@@ -309,3 +309,86 @@ def test_kernels_interpret_mode_batched_idx(monkeypatch):
     np.testing.assert_allclose(got_fwd, ref_fwd, rtol=1e-13)
     np.testing.assert_allclose(got_vmap, ref_fwd, rtol=1e-13)
     np.testing.assert_allclose(got_adj, ref_adj, rtol=1e-12)
+
+
+def test_sorted_adjoint_gather_matches_xla(rng):
+    """sorted_bin_gather: forward == table[idx] bitwise; transpose == the
+    per-bin segment sum; survives jit/vmap/linearize (the metric path)."""
+    from nifty_tpu.ops.pallas_gather import (
+        sorted_bin_gather,
+        sorted_scatter_aux,
+    )
+
+    nb, shape = 57, (12, 17)
+    table = jnp.asarray(rng.normal(size=nb))
+    idx_np = rng.integers(0, nb, size=shape).astype(np.int32)
+    aux_np = sorted_scatter_aux(idx_np)
+    idx = jnp.asarray(idx_np)
+    perm = jnp.asarray(aux_np["perm"])
+    sids = jnp.asarray(aux_np["sorted_ids"])
+
+    f = jax.jit(lambda t, i, p, s: sorted_bin_gather(t, i, p, s))
+    out = f(table, idx, perm, sids)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(table[idx]))
+
+    # transpose: scatter-add
+    cot = jnp.asarray(rng.normal(size=shape))
+    g = jax.jit(jax.grad(
+        lambda t: (sorted_bin_gather(t, idx, perm, sids) * cot).sum()
+    ))(table)
+    ref = np.zeros(nb)
+    np.add.at(ref, idx_np.ravel(), np.asarray(cot).ravel())
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-12, atol=1e-12)
+
+    # linearize + transpose of the linearized map (metric-style use)
+    _, lin = jax.linearize(
+        lambda t: sorted_bin_gather(t, idx, perm, sids), table
+    )
+    tan = jnp.asarray(rng.normal(size=nb))
+    np.testing.assert_array_equal(np.asarray(lin(tan)), np.asarray(table[idx]) * 0 + np.asarray(tan[idx]))
+    lt = jax.linear_transpose(lin, table)
+    np.testing.assert_allclose(np.asarray(lt(cot)[0]), ref, rtol=1e-12)
+
+    # vmap over the table batch axis
+    tables = jnp.stack([table, 2.0 * table, -table])
+    outs = jax.vmap(lambda t: sorted_bin_gather(t, idx, perm, sids))(tables)
+    np.testing.assert_array_equal(np.asarray(outs[1]), np.asarray(2.0 * table)[idx_np])
+
+
+def test_unbinned_cf_sorted_adjoint_route(rng, monkeypatch):
+    """Forcing the runtime-consts threshold to 1 byte routes an unbinned
+    CF through consts + sorted-adjoint distributor; outputs and gradients
+    must match the baked-constant build."""
+    import nifty_tpu as jft
+    import nifty_tpu.models.correlated_field as cfmod
+
+    def build():
+        cfm = jft.CorrelatedFieldMaker("cf")
+        cfm.set_amplitude_total_offset(offset_mean=0.5, offset_std=(1e-1, 3e-2))
+        cfm.add_fluctuations(
+            (24, 24), distances=1.0 / 24, fluctuations=(1.0, 5e-1),
+            loglogavgslope=(-2.5, 2e-1), flexibility=(1e0, 5e-1),
+        )
+        return cfm.finalize()
+
+    cf_ref = build()
+    monkeypatch.setattr(
+        cfmod.CorrelatedFieldMaker, "RUNTIME_DIST_MIN_BYTES", 1
+    )
+    cf_rt = build()
+    assert cf_rt.consts is not None and any(
+        k.startswith("pd_perm") for k in cf_rt.consts
+    )
+    x = cf_ref.init(jax.random.PRNGKey(5))
+    a = jax.jit(cf_ref)(x)
+    b = cf_rt.jcall(x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-14)
+
+    # gradients (pull the scatter transpose through the model)
+    cot = jnp.asarray(rng.normal(size=a.shape))
+    ga = jax.grad(lambda p: (cf_ref(p) * cot).sum())(x)
+    gb = jax.grad(lambda p: (cf_rt(p) * cot).sum())(x)
+    for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-10, atol=1e-12)
