@@ -46,7 +46,7 @@ def timed(fn, *args, n=5):
     return (time.perf_counter() - t0) / n
 
 
-def chain_roundtrip(f, consts, x0, k_lo=2, k_hi=10, reps=3):
+def chain_roundtrip(f, consts, x0, k_lo=2, k_hi=50, reps=3):
     """Per-application seconds of x -> f(consts, x) via two in-jit scan
     lengths.
 
@@ -76,34 +76,33 @@ def chain_roundtrip(f, consts, x0, k_lo=2, k_hi=10, reps=3):
     return (t(chain(k_hi)) - t(chain(k_lo))) / (k_hi - k_lo)
 
 
-def gl(lmax, on_the_fly=False):
+def gl(lmax, on_the_fly=False, dtype=None):
     if on_the_fly:
         from nifty_tpu.ops.sht import SphericalHarmonicTransformOnTheFly as T
     else:
         from nifty_tpu.ops.sht import SphericalHarmonicTransform as T
 
     t_build = time.perf_counter()
-    sht = T(lmax=lmax)
+    sht = T(lmax=lmax, dtype=dtype)
     t_build = time.perf_counter() - t_build
     key = jax.random.PRNGKey(0)
     alm = jax.random.normal(key, ((lmax + 1) ** 2,), jnp.float32)
     # The `_jit` wrappers pass the Legendre tables as runtime arguments;
     # wrapping the bound methods in a plain jax.jit would bake them as
     # HLO constants (~0.5 GB at lmax=512) and overflow the remote
-    # compile service (HTTP 413).
+    # compile service (HTTP 413).  All timings use the in-jit
+    # chained-scan differencing — single-dispatch timing over the
+    # tunneled runtime under-reported by >10x here.
     synth = (sht.synthesize_real_jit if hasattr(sht, "synthesize_real_jit")
              else jax.jit(sht.synthesize_real))
     m = synth(alm)
-    t_synth = timed(synth, alm)
-    ana = (sht.map2alm_jit if hasattr(sht, "map2alm_jit")
-           else jax.jit(sht.map2alm))
-    t_ana = timed(ana, m)
-    # in-jit chained roundtrip (map -> alm -> map): dispatch-free estimate
     consts = getattr(sht, "consts", {})
+    kw = (lambda c: {"consts": c}) if consts else (lambda c: {})
+    # map -> alm -> map: one analysis + one synthesis per application
     t_rt = chain_roundtrip(
-        lambda c, mm: sht.alm2map(sht.map2alm(
-            mm, **({"consts": c} if c else {})), **({"consts": c} if c else {})),
+        lambda c, mm: sht.alm2map(sht.map2alm(mm, **kw(c)), **kw(c)),
         consts, m)
+
     # round-trip accuracy (analysis exact on GL grid), computed ON
     # device (complex device->host transfers are unimplemented here),
     # with the tables as runtime arguments (constant-baking overflows
@@ -127,7 +126,7 @@ def gl(lmax, on_the_fly=False):
     return {
         "probe": "gl_sht" + ("_otf" if on_the_fly else ""),
         "lmax": lmax, "grid": list(getattr(sht, "grid_shape", (0, 0))),
-        "build_s": t_build, "synthesis_s": t_synth, "analysis_s": t_ana,
+        "build_s": t_build,
         "roundtrip_injit_s": t_rt,
         "roundtrip_rel_err_f32": err,
     }
@@ -143,22 +142,25 @@ def healpix(lmax, nside):
     alm = jax.random.normal(key, ((lmax + 1) ** 2,), jnp.float32)
     synth = sht.synthesize_real_jit
     m = synth(alm)
-    t_synth = timed(synth, alm)
-    ana_w = sht.map2alm_weighted_jit
-    t_ana_w = timed(ana_w, m)
-    ana_cg = sht._jitted(
-        "map2alm_cg10", lambda t, mm: sht.map2alm(mm, maxiter=10, consts=t))
-    t_ana_cg = timed(lambda mm: ana_cg(sht.consts, mm), m, n=2)
     t_rt = chain_roundtrip(
         lambda c, mm: sht.alm2map(sht.map2alm_weighted(mm, consts=c),
                                   consts=c),
-        sht.consts, m)
+        sht.consts, m, k_hi=20)
+    # on-device roundtrip accuracy of the ring-weight analysis
+    def _rt_err(c, a):
+        from nifty_tpu.ops.sht import real2alm
+
+        alm_c = real2alm(a, sht.lmax, sht.mmax)
+        rt = sht.map2alm_weighted(sht.alm2map(alm_c, consts=c), consts=c)
+        return (jnp.abs(rt - alm_c).max()
+                / jnp.maximum(jnp.abs(alm_c).max(), 1e-30))
+
+    err = float(jax.jit(_rt_err)(sht.consts, alm))
     return {
         "probe": "healpix_sht", "lmax": lmax, "nside": nside,
-        "npix": int(sht.npix), "build_s": t_build, "synthesis_s": t_synth,
-        "analysis_ring_weight_s": t_ana_w,
-        "analysis_cg10_s": t_ana_cg,
+        "npix": int(sht.npix), "build_s": t_build,
         "roundtrip_injit_s": t_rt,
+        "roundtrip_rel_err_f32": err,
     }
 
 
@@ -177,7 +179,15 @@ def main():
             _safe(gl, lmax)
         # lmax 2048: the dense (m, theta, l) Legendre table exceeds HBM;
         # the on-the-fly scan formulation is the supported path there.
+        # f32 underflows the unscaled lambda_mm recurrence at this lmax
+        # (sin^m theta < 1e-38 for large m) — measured rel err 0.73 — so
+        # the supported OTF configuration at lmax>=2048 is f64 (emulated
+        # on TPU; a scaled-recurrence f32 formulation is the tracked
+        # follow-up).  Probe both for the record.
         _safe(gl, 2048, on_the_fly=True)
+        import jax.numpy as _jnp
+
+        _safe(gl, 2048, on_the_fly=True, dtype=_jnp.float64)
     if which in ("all", "hp"):
         for lmax, nside in ((511, 256), (1023, 512)):
             _safe(healpix, lmax, nside)
