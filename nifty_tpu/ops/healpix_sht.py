@@ -28,6 +28,170 @@ from . import healpix as hpx
 from .sht import _unpack_alm_to_matrix, n_alm, normalized_legendre_table
 
 
+# -- longitude-stage linear primitive pair ---------------------------------
+#
+# The m-chunked longitude stage runs as a lax.scan (bounding transients
+# to (M_CHUNK, npix) per step), but jax.linear_transpose cannot transpose
+# a scan whose xs mix linear (F chunks) and integer (slice offsets)
+# streams.  Registering the stage and its mathematically-exact adjoint
+# as primitives that are each other's transpose sidesteps scan
+# transposition entirely — the same rationale as ops/linear_prim, with
+# the phase tables as RUNTIME OPERANDS (they are multi-GB Model.consts
+# buffers; closure capture would bake them into every executable).
+
+import jax.extend
+from jax.interpreters import ad as _ad
+from jax.interpreters import batching as _batching
+from jax.interpreters import mlir as _mlir
+
+_hp_fwd_p = jax.extend.core.Primitive("hp_longitude_fwd")
+_hp_adj_p = jax.extend.core.Primitive("hp_longitude_adj")
+
+
+def _hp_fwd_impl(F2, cos, sin, rp, *, chunk):
+    """(2, padded, nrings) real F chunks -> (npix,) map."""
+    padded, nrings = F2.shape[1:]
+    n_chunks = padded // chunk
+    npix = cos.shape[0]
+    Fre = F2[0].reshape(n_chunks, chunk, nrings)
+    Fim = F2[1].reshape(n_chunks, chunk, nrings)
+
+    def step(acc, xs):
+        fre, fim, m0 = xs
+        cchunk = jax.lax.dynamic_slice_in_dim(cos, m0, chunk, axis=1)
+        schunk = jax.lax.dynamic_slice_in_dim(sin, m0, chunk, axis=1)
+        acc = acc + jnp.einsum(
+            "pb,bp->p", cchunk, fre[:, rp],
+            precision=jax.lax.Precision.HIGHEST,
+        ) - jnp.einsum(
+            "pb,bp->p", schunk, fim[:, rp],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return acc, None
+
+    m0s = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    acc0 = jnp.zeros((npix,), F2.dtype)
+    out, _ = jax.lax.scan(step, acc0, (Fre, Fim, m0s))
+    return out
+
+
+def _hp_adj_impl(ct, cos, sin, rp, *, chunk, nrings):
+    """(npix,) cotangent -> (2, padded, nrings) real F chunks."""
+    padded = cos.shape[1]
+    n_chunks = padded // chunk
+    nr = nrings
+
+    def step(_, m0):
+        cchunk = jax.lax.dynamic_slice_in_dim(cos, m0, chunk, axis=1)
+        schunk = jax.lax.dynamic_slice_in_dim(sin, m0, chunk, axis=1)
+        re = jnp.einsum("pb,p->bp", cchunk, ct,
+                        precision=jax.lax.Precision.HIGHEST)
+        im = -jnp.einsum("pb,p->bp", schunk, ct,
+                         precision=jax.lax.Precision.HIGHEST)
+        Fre = jax.vmap(lambda row: jax.ops.segment_sum(
+            row, rp, num_segments=nr))(re)
+        Fim = jax.vmap(lambda row: jax.ops.segment_sum(
+            row, rp, num_segments=nr))(im)
+        return None, (Fre, Fim)
+
+    m0s = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    _, (Fres, Fims) = jax.lax.scan(step, None, m0s)
+    return jnp.stack([
+        Fres.reshape(padded, nr), Fims.reshape(padded, nr)
+    ])
+
+
+_hp_fwd_p.def_impl(lambda F2, cos, sin, rp, *, chunk: _hp_fwd_impl(
+    F2, cos, sin, rp, chunk=chunk))
+_hp_fwd_p.def_abstract_eval(
+    lambda F2, cos, sin, rp, *, chunk: jax.core.ShapedArray(
+        (cos.shape[0],), F2.dtype
+    )
+)
+_hp_adj_p.def_impl(lambda ct, cos, sin, rp, *, chunk, nrings: _hp_adj_impl(
+    ct, cos, sin, rp, chunk=chunk, nrings=nrings))
+_hp_adj_p.def_abstract_eval(
+    lambda ct, cos, sin, rp, *, chunk, nrings: jax.core.ShapedArray(
+        (2, cos.shape[1], nrings), ct.dtype
+    )
+)
+
+
+def _hp_fwd_jvp(primals, tangents, *, chunk):
+    F2, cos, sin, rp = primals
+    t = tangents[0]
+    out = _hp_fwd_p.bind(F2, cos, sin, rp, chunk=chunk)
+    if isinstance(t, _ad.Zero):
+        return out, _ad.Zero(jax.core.get_aval(out).to_tangent_aval())
+    return out, _hp_fwd_p.bind(t, cos, sin, rp, chunk=chunk)
+
+
+def _hp_fwd_transpose(ct, F2, cos, sin, rp, *, chunk):
+    assert _ad.is_undefined_primal(F2)
+    if isinstance(ct, _ad.Zero):
+        return _ad.Zero(F2.aval), None, None, None
+    nrings = F2.aval.shape[2]
+    out = _hp_adj_p.bind(ct, cos, sin, rp, chunk=chunk, nrings=nrings)
+    return out.astype(F2.aval.dtype), None, None, None
+
+
+def _hp_adj_jvp(primals, tangents, *, chunk, nrings):
+    ct, cos, sin, rp = primals
+    t = tangents[0]
+    out = _hp_adj_p.bind(ct, cos, sin, rp, chunk=chunk, nrings=nrings)
+    if isinstance(t, _ad.Zero):
+        return out, _ad.Zero(jax.core.get_aval(out).to_tangent_aval())
+    return out, _hp_adj_p.bind(t, cos, sin, rp, chunk=chunk, nrings=nrings)
+
+
+def _hp_adj_transpose(ct, cot, cos, sin, rp, *, chunk, nrings):
+    assert _ad.is_undefined_primal(cot)
+    if isinstance(ct, _ad.Zero):
+        return _ad.Zero(cot.aval), None, None, None
+    out = _hp_fwd_p.bind(ct, cos, sin, rp, chunk=chunk)
+    return out.astype(cot.aval.dtype), None, None, None
+
+
+def _hp_fwd_batching(args, dims, *, chunk):
+    F2, cos, sin, rp = args
+    d0 = dims[0]
+    assert all(d is None for d in dims[1:]), "tables are shared"
+    F2 = jnp.moveaxis(F2, d0, 0)
+    out = jnp.stack([
+        _hp_fwd_p.bind(F2[i], cos, sin, rp, chunk=chunk)
+        for i in range(F2.shape[0])
+    ])
+    return out, 0
+
+
+def _hp_adj_batching(args, dims, *, chunk, nrings):
+    ct, cos, sin, rp = args
+    d0 = dims[0]
+    assert all(d is None for d in dims[1:]), "tables are shared"
+    ct = jnp.moveaxis(ct, d0, 0)
+    out = jnp.stack([
+        _hp_adj_p.bind(ct[i], cos, sin, rp, chunk=chunk, nrings=nrings)
+        for i in range(ct.shape[0])
+    ])
+    return out, 0
+
+
+_ad.primitive_jvps[_hp_fwd_p] = _hp_fwd_jvp
+_ad.primitive_transposes[_hp_fwd_p] = _hp_fwd_transpose
+_batching.primitive_batchers[_hp_fwd_p] = _hp_fwd_batching
+_mlir.register_lowering(_hp_fwd_p, _mlir.lower_fun(
+    lambda F2, cos, sin, rp, *, chunk: _hp_fwd_impl(
+        F2, cos, sin, rp, chunk=chunk),
+    multiple_results=False))
+_ad.primitive_jvps[_hp_adj_p] = _hp_adj_jvp
+_ad.primitive_transposes[_hp_adj_p] = _hp_adj_transpose
+_batching.primitive_batchers[_hp_adj_p] = _hp_adj_batching
+_mlir.register_lowering(_hp_adj_p, _mlir.lower_fun(
+    lambda ct, cos, sin, rp, *, chunk, nrings: _hp_adj_impl(
+        ct, cos, sin, rp, chunk=chunk, nrings=nrings),
+    multiple_results=False))
+
+
 class HEALPixSHT:
     """Synthesis (and adjoint) between packed alm and a HEALPix map."""
 
@@ -129,34 +293,12 @@ class HEALPixSHT:
         ])
         Fc = c[:, None] * F
         nm, n_chunks, padded = self._chunk_plan()
-        B = self._chunk
-        Fre = jnp.zeros((padded, self._nrings), Fc.real.dtype).at[:nm].set(
-            Fc.real).reshape(n_chunks, B, self._nrings)
-        Fim = jnp.zeros((padded, self._nrings), Fc.real.dtype).at[:nm].set(
-            Fc.imag).reshape(n_chunks, B, self._nrings)
-        rp = t["ring_of_pix"]
-        cos, sin = t["cos"], t["sin"]
-        npix = self.npix
-
-        def step(acc, xs):
-            fre, fim, m0 = xs
-            cchunk = jax.lax.dynamic_slice_in_dim(cos, m0, B, axis=1)
-            schunk = jax.lax.dynamic_slice_in_dim(sin, m0, B, axis=1)
-            fre_p = fre[:, rp]  # (B, npix)
-            fim_p = fim[:, rp]
-            acc = acc + jnp.einsum(
-                "pb,bp->p", cchunk, fre_p,
-                precision=jax.lax.Precision.HIGHEST,
-            ) - jnp.einsum(
-                "pb,bp->p", schunk, fim_p,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return acc, None
-
-        m0s = jnp.arange(n_chunks, dtype=jnp.int32) * B
-        acc0 = jnp.zeros((npix,), Fc.real.dtype)
-        out, _ = jax.lax.scan(step, acc0, (Fre, Fim, m0s))
-        return out
+        F2 = jnp.zeros((2, padded, self._nrings), self._dtype)
+        F2 = F2.at[0, :nm].set(Fc.real.astype(self._dtype))
+        F2 = F2.at[1, :nm].set(Fc.imag.astype(self._dtype))
+        return _hp_fwd_p.bind(
+            F2, t["cos"], t["sin"], t["ring_of_pix"], chunk=self._chunk
+        )
 
     def alm2map_jit(self, alm):
         return self._jitted(
@@ -167,28 +309,11 @@ class HEALPixSHT:
         """Longitude-stage adjoint, m-chunked: weighted map ->
         F (mmax+1, nrings) complex (see M_CHUNK)."""
         nm, n_chunks, padded = self._chunk_plan()
-        B = self._chunk
-        rp = t["ring_of_pix"]
-        cos, sin = t["cos"], t["sin"]
-        npix, nr = self.npix, self._nrings
-
-        def step(_, m0):
-            cchunk = jax.lax.dynamic_slice_in_dim(cos, m0, B, axis=1)
-            schunk = jax.lax.dynamic_slice_in_dim(sin, m0, B, axis=1)
-            re = jnp.einsum("pb,p->bp", cchunk, mw,
-                            precision=jax.lax.Precision.HIGHEST)
-            im = -jnp.einsum("pb,p->bp", schunk, mw,
-                             precision=jax.lax.Precision.HIGHEST)
-            # sum over pixels per ring (transpose of the ring gather)
-            Fre = jax.vmap(lambda row: jax.ops.segment_sum(
-                row, rp, num_segments=nr))(re)
-            Fim = jax.vmap(lambda row: jax.ops.segment_sum(
-                row, rp, num_segments=nr))(im)
-            return None, Fre + 1j * Fim
-
-        m0s = jnp.arange(n_chunks, dtype=jnp.int32) * B
-        _, Fs = jax.lax.scan(step, None, m0s)
-        return Fs.reshape(padded, nr)[:nm]
+        F2 = _hp_adj_p.bind(
+            mw, t["cos"], t["sin"], t["ring_of_pix"],
+            chunk=self._chunk, nrings=self._nrings,
+        )
+        return (F2[0] + 1j * F2[1])[:nm]
 
     def map2alm_adjoint(self, m_arr, consts=None):
         """Exact adjoint of synthesis, quadrature-weighted: ≈ analysis for
