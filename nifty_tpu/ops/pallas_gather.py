@@ -1027,6 +1027,18 @@ def _sorted_gather_impl(table, idx, perm, sorted_ids):
 
 def _sorted_scatter_impl(cot, idx, perm, sorted_ids, *, nb):
     del idx
+    import os
+
+    if os.environ.get("NIFTY_SORTED_SCATTER") == "cumsum":
+        # debugging escape: cumulative-sum + boundary-difference variant
+        # (same cost class, avoids XLA's sorted-segment reduction path)
+        cs = jnp.concatenate([
+            jnp.zeros((1,), cot.dtype), jnp.cumsum(cot.ravel()[perm])
+        ])
+        bins = jnp.arange(nb, dtype=sorted_ids.dtype)
+        starts = jnp.searchsorted(sorted_ids, bins)
+        ends = jnp.searchsorted(sorted_ids, bins + 1)
+        return cs[ends] - cs[starts]
     return jax.ops.segment_sum(
         cot.ravel()[perm], sorted_ids, num_segments=nb,
         indices_are_sorted=True,
