@@ -65,23 +65,60 @@ def run(shape, npts, width=8):
     rec = {"probe": "nufft_throughput", "shape": list(shape),
            "npts": npts, "width": width}
 
-    def leg(label, fn):
+    # In-jit chained measurement with a data-dependent carry: repeated
+    # identical host dispatches are deduplicated/cached by this runtime
+    # (measured "14e9 vis/s"), so per-application time is estimated from
+    # the difference of two scan lengths.
+    def chain_pair(apply_pair, x0, k_lo=1, k_hi=8, reps=3):
+        def chain(k):
+            def g(x):
+                def body(c, _):
+                    return apply_pair(c), ()
+                y, _ = jax.lax.scan(body, x, None, length=k)
+                return y
+            return jax.jit(g)
+
+        def t(fn):
+            # EVERY dispatch gets fresh input values: this runtime
+            # deduplicates/caches repeated dispatches of the same
+            # executable on identical buffers (measured "negative" chain
+            # differences otherwise)
+            xs = [x0 * (1.0 + 0.01 * (i + 1)) for i in range(reps + 1)]
+            jax.block_until_ready(fn(xs[0]))
+            ts = []
+            for i in range(reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(xs[i + 1]))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        return (t(chain(k_hi)) - t(chain(k_lo))) / (k_hi - k_lo)
+
+    def leg(label, apply_pair, x0):
         try:
-            t = timed(fn)
-            rec[f"{label}_s"] = t
-            rec[f"{label}_vis_per_s"] = npts / t
+            t = chain_pair(apply_pair, x0)
+            rec[f"{label}_pair_s"] = t
+            rec[f"{label}_pair_vis_per_s"] = npts / t
         except Exception as e:
             rec[f"{label}_error"] = repr(e)[:160]
 
-    f2 = jax.jit(lambda im: nufft2(im, coords, width=width))
-    leg("type2", lambda: f2(img))
-    f1 = jax.jit(lambda v: nufft1(shape, v, coords, width=width))
-    leg("type1", lambda: f1(vis))
+    # type-2 + type-1 round trip (the degridder/gridder pair every
+    # radio metric matvec applies)
+    leg(
+        "nufft_type2_type1",
+        lambda im: nufft1(shape, nufft2(im, coords, width=width),
+                          coords, width=width).real,
+        img,
+    )
 
-    # sorted-uv RadioResponse (the production path)
+    # sorted-uv RadioResponse + adjoint (the production path)
     rr = RadioResponse(shape, coords, width=width)
-    fr = jax.jit(rr)
-    leg("radio_response_sorted", lambda: fr(img))
+
+    def rr_pair(im):
+        vis_f, vjp = jax.vjp(rr, im)
+        return vjp(vis_f)[0]
+
+    leg("radio_response_pair", rr_pair, img)
     return rec
 
 

@@ -1161,11 +1161,14 @@ def distribute_power(table, idx, sorted_aux=None):
     """
     from .. import config as _config
 
+    import os as _os
+
     if (
         sorted_aux is not None
         and isinstance(idx, jax.core.Tracer)
         and not _config.get("deterministic_reductions")
         and not _use_pallas(table.shape[0], dtype=table.dtype)
+        and _os.environ.get("NIFTY_SORTED_SCATTER") != "off"
     ):
         return sorted_bin_gather(
             table, idx, sorted_aux["perm"], sorted_aux["sorted_ids"]
