@@ -412,7 +412,7 @@ class CorrelatedFieldMaker:
     #: programs) instead of per-executable embedded constants; below it
     #: they stay static so the TPU gather kernels (MXU one-hot /
     #: select-loop, ops/pallas_gather.py) can specialize on them.
-    RUNTIME_DIST_MIN_BYTES = 8 * 2**20
+    RUNTIME_DIST_MIN_BYTES = 2**20
 
     def __init__(self, prefix: str):
         self._azm = None

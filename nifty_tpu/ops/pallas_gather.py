@@ -1168,6 +1168,13 @@ def distribute_power(table, idx, sorted_aux=None):
         and isinstance(idx, jax.core.Tracer)
         and not _config.get("deterministic_reductions")
         and not _use_pallas(table.shape[0], dtype=table.dtype)
+        # ≥2^22-entry maps (the 4096² quarter grid) deterministically
+        # fault the TPU worker inside large fused programs with either
+        # sorted-adjoint formulation (segment_sum and cumsum variants;
+        # measured round 5) while the same ops run standalone — XLA/
+        # runtime bug at that scale.  They fall back to the XLA scatter
+        # route; ≤2048² unbinned keeps the fast sorted adjoint.
+        and idx.size < (1 << 22)
         and _os.environ.get("NIFTY_SORTED_SCATTER") != "off"
     ):
         return sorted_bin_gather(
