@@ -73,22 +73,25 @@ def run(shape, npts, width=8):
         def chain(k):
             def g(x):
                 def body(c, _):
-                    return apply_pair(c), ()
+                    # renormalize the carry so iterated unnormalized
+                    # pairs cannot overflow f32
+                    c = apply_pair(c)
+                    return c / jnp.maximum(jnp.abs(c).max(), 1e-20), ()
                 y, _ = jax.lax.scan(body, x, None, length=k)
-                return y
+                return jnp.abs(y).max()
             return jax.jit(g)
 
         def t(fn):
-            # EVERY dispatch gets fresh input values: this runtime
-            # deduplicates/caches repeated dispatches of the same
-            # executable on identical buffers (measured "negative" chain
-            # differences otherwise)
+            # fetch-forced, fresh inputs: block_until_ready alone and
+            # repeated identical dispatches both mis-time on this
+            # runtime; fetching a scalar derived from the result cannot
+            # be faked (docs/perf.md header)
             xs = [x0 * (1.0 + 0.01 * (i + 1)) for i in range(reps + 1)]
-            jax.block_until_ready(fn(xs[0]))
+            float(fn(xs[0]))
             ts = []
             for i in range(reps):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(xs[i + 1]))
+                float(fn(xs[i + 1]))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
