@@ -85,6 +85,11 @@ def main():
         kl_kwargs=dict(minimize_kwargs=dict(
             xtol=1e-4, maxiter=8, cg_kwargs=dict(maxiter=40))),
         sample_mode="nonlinear_resample",
+        # The one-program fused iteration faults the TPU worker at this
+        # scale (the >4M-element defect class, docs/perf.md); staged
+        # per-stage programs keep every dispatch within measured-good
+        # territory.
+        fused=False if not small else "auto",
         odir=None,
     )
     dt = time.perf_counter() - t0

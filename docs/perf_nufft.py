@@ -27,9 +27,20 @@ from nifty_tpu.ops.nufft import RadioResponse, nufft1, nufft2
 
 OUT = "/root/repo/docs/perf_nufft.json"
 records = []
+if os.path.exists(OUT):
+    try:
+        with open(OUT) as f:
+            records = json.load(f)
+    except Exception:
+        records = []
 
 
 def emit(rec):
+    key = (rec.get("probe"), tuple(rec.get("shape", ())), rec.get("npts"))
+    records[:] = [
+        r for r in records
+        if (r.get("probe"), tuple(r.get("shape", ())), r.get("npts")) != key
+    ]
     records.append(rec)
     print(json.dumps(rec), flush=True)
     with open(OUT, "w") as f:
@@ -69,13 +80,17 @@ def run(shape, npts, width=8):
     # identical host dispatches are deduplicated/cached by this runtime
     # (measured "14e9 vis/s"), so per-application time is estimated from
     # the difference of two scan lengths.
-    def chain_pair(apply_pair, x0, k_lo=1, k_hi=8, reps=3):
+    def chain_pair(apply_pair, x0, k_lo=1, k_hi=8, reps=3, aux=None):
+        # `aux` (e.g. a Model with multi-MB `consts`) rides as a jit
+        # ARGUMENT: closing the jit over device-resident consts makes
+        # the axon runtime pull them back for constant embedding
+        # (UNIMPLEMENTED); as an argument they stay shared HBM buffers.
         def chain(k):
-            def g(x):
+            def g(a, x):
                 def body(c, _):
                     # renormalize the carry so iterated unnormalized
                     # pairs cannot overflow f32
-                    c = apply_pair(c)
+                    c = apply_pair(a, c)
                     return c / jnp.maximum(jnp.abs(c).max(), 1e-20), ()
                 y, _ = jax.lax.scan(body, x, None, length=k)
                 return jnp.abs(y).max()
@@ -87,46 +102,53 @@ def run(shape, npts, width=8):
             # runtime; fetching a scalar derived from the result cannot
             # be faked (docs/perf.md header)
             xs = [x0 * (1.0 + 0.01 * (i + 1)) for i in range(reps + 1)]
-            float(fn(xs[0]))
+            float(fn(aux, xs[0]))
             ts = []
             for i in range(reps):
                 t0 = time.perf_counter()
-                float(fn(xs[i + 1]))
+                float(fn(aux, xs[i + 1]))
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
         return (t(chain(k_hi)) - t(chain(k_lo))) / (k_hi - k_lo)
 
-    def leg(label, apply_pair, x0):
+    def leg(label, apply_pair, x0, aux=None):
         try:
-            t = chain_pair(apply_pair, x0)
+            t = chain_pair(apply_pair, x0, aux=aux)
             rec[f"{label}_pair_s"] = t
             rec[f"{label}_pair_vis_per_s"] = npts / t
         except Exception as e:
             rec[f"{label}_error"] = repr(e)[:160]
 
     # type-2 + type-1 round trip (the degridder/gridder pair every
-    # radio metric matvec applies)
+    # radio metric matvec applies).  Above _POINT_BATCH_MIN_ENTRIES
+    # window entries nufft2 auto-batches the interpolation via lax.map
+    # (the one-shot window scatter faults the worker at 6.4e7 entries).
     leg(
         "nufft_type2_type1",
-        lambda im: nufft1(shape, nufft2(im, coords, width=width),
-                          coords, width=width).real,
+        lambda _, im: nufft1(shape, nufft2(im, coords, width=width),
+                             coords, width=width).real,
         img,
     )
 
-    # sorted-uv RadioResponse + adjoint (the production path)
+    # sorted-uv RadioResponse + adjoint (the production path): window
+    # tables in Model.consts, sorted-adjoint gather/scatter
     rr = RadioResponse(shape, coords, width=width)
 
-    def rr_pair(im):
-        vis_f, vjp = jax.vjp(rr, im)
+    def rr_pair(model, im):
+        vis_f, vjp = jax.vjp(model, im)
         return vjp(vis_f)[0]
 
-    leg("radio_response_pair", rr_pair, img)
+    leg("radio_response_pair", rr_pair, img, aux=rr)
     return rec
 
 
 def main():
-    for npts in (100_000, 1_000_000):
+    sizes = (
+        [int(float(a)) for a in sys.argv[1:]]
+        if len(sys.argv) > 1 else [100_000, 1_000_000]
+    )
+    for npts in sizes:
         emit(run((512, 512), npts))
 
 

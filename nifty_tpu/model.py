@@ -25,6 +25,7 @@ from pprint import pformat
 from typing import Any, Callable, Optional
 
 import jax
+import numpy as np
 from jax import random
 from jax.tree_util import (
     register_pytree_node,
@@ -95,6 +96,31 @@ class Initializer:
         return f"Initializer({pformat(self._call_or_struct)})"
 
 
+class _StaticArray:
+    """Hashable identity wrapper for numpy-array static aux data.
+
+    Models that carry host-numpy constants as plain attributes (e.g.
+    :class:`~nifty_tpu.ops.nufft.RadioResponse`'s uv table) would make
+    the pytree aux unhashable and break jit caching when the model is
+    passed as a jit *argument* (the runtime-buffer route for big
+    ``consts``).  Equality/hash are by object identity — passing the
+    same model instance hits the jit cache; a content-equal copy retraces
+    (correct, just not cached), which avoids hashing multi-MB buffers on
+    every dispatch.
+    """
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __hash__(self):
+        return hash((id(self.arr), self.arr.shape, str(self.arr.dtype)))
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticArray) and self.arr is other.arr
+
+
 class PyTreeMeta(abc.ABCMeta):
     """Metaclass registering every subclass as a JAX pytree.
 
@@ -116,6 +142,8 @@ class PyTreeMeta(abc.ABCMeta):
                 if meta.get("static", True) is False:
                     dynamic.append((k, v))
                 else:
+                    if isinstance(v, np.ndarray):
+                        v = _StaticArray(v)
                     static.append((k, v))
             names = tuple(k for k, _ in dynamic)
             return tuple(v for _, v in dynamic), (names, tuple(static))
@@ -126,7 +154,9 @@ class PyTreeMeta(abc.ABCMeta):
             for k, v in zip(names, children):
                 object.__setattr__(obj, k, v)
             for k, v in static:
-                object.__setattr__(obj, k, v)
+                object.__setattr__(
+                    obj, k, v.arr if isinstance(v, _StaticArray) else v
+                )
             return obj
 
         register_pytree_node(cls, tree_flatten, tree_unflatten_)

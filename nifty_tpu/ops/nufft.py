@@ -35,6 +35,15 @@ from ..model import Model
 from ..tree import ShapeWithDtype
 
 
+#: Points per lax.map batch for large non-uniform point sets (the
+#: window gather/scatter then touches ≤ batch·W^d ≈ 4-8M entries per
+#: step, the scale measured to run on this runtime).
+_POINT_BATCH = 1 << 16
+#: Total window entries (npts · W^d) above which nufft2 switches from
+#: one vmapped gather to the lax.map point-batched route.
+_POINT_BATCH_MIN_ENTRIES = 1 << 23
+
+
 def _es_beta(sigma: float, width: int) -> float:
     """ES kernel sharpness.  FINUFFT's tuned choice: ``2.30 W`` at σ=2,
     ``pi W (1 - 1/(2σ)) * 0.976`` in general (Barnett, Magland &
@@ -72,13 +81,68 @@ def _deconv_factors(n: int, n_os: int, width: int, beta: float):
     return 1.0 / psi_hat
 
 
-def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8):
+def nufft_window_aux(shape, coords, *, sigma: float = 2.0, width: int = 8):
+    """Host-precomputed window tables for *static* coords.
+
+    For a fixed measurement layout (radio uv coverage) every W^d window
+    tap's flat cell index on the oversampled grid is known at build time,
+    as is the sorting permutation that makes the adjoint's scatter a
+    sorted segment-sum (ducc's sorted-bin gridder layout,
+    ``src/library/nft.py:63``, re-expressed as the distributor's
+    sorted-adjoint primitive).  Returns int32 arrays ``cells``
+    ((npts, W^d) flat indices), ``perm``/``sorted_ids`` (its argsort and
+    image), and ``i0`` ((npts, d) window base offsets, from which the ES
+    weights are recomputed on device each call — O(npts·W) exps, cheap).
+    Ship the dict through ``Model.consts`` so the multi-MB tables ride as
+    runtime buffers, not HLO literals.
+    """
+    from .pallas_gather import sorted_scatter_aux
+
+    shape = tuple(shape)
+    d = len(shape)
+    coords = np.asarray(coords, dtype=float)
+    n_os = [int(np.round(sigma * n)) for n in shape]
+    offs = np.arange(width) - width // 2 + 1
+    idx_axes, i0s = [], []
+    for ax in range(d):
+        x = coords[:, ax] * (n_os[ax] / shape[ax])
+        i0 = np.floor(x).astype(np.int64)
+        i0s.append(i0)
+        idx_axes.append((i0[:, None] + offs[None, :]) % n_os[ax])
+    if d == 1:
+        cells = idx_axes[0]
+    elif d == 2:
+        cells = idx_axes[0][:, :, None] * n_os[1] + idx_axes[1][:, None, :]
+    elif d == 3:
+        cells = (
+            idx_axes[0][:, :, None, None] * n_os[1]
+            + idx_axes[1][:, None, :, None]
+        ) * n_os[2] + idx_axes[2][:, None, None, :]
+    else:
+        raise NotImplementedError("nufft supports up to 3 dimensions")
+    flat = cells.reshape(coords.shape[0], -1).astype(np.int32)
+    aux = sorted_scatter_aux(flat)
+    return dict(
+        cells=flat,
+        perm=aux["perm"],
+        sorted_ids=aux["sorted_ids"],
+        i0=np.stack(i0s, axis=-1).astype(np.int32),
+    )
+
+
+def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8,
+           window_consts=None):
     """Type-2 NUFFT: complex visibilities at non-uniform frequencies.
 
     ``image``: real or complex array (n1, ..., nd), pixel (0,...,0) at the
     *center* (fftshift convention).  ``coords``: (npoints, d) frequencies
     in cycles per full image extent, in [-n/2, n/2).
     Returns ``v_j = Σ_x image[x] exp(-2πi f_j · x / n)``.
+
+    ``window_consts`` (from :func:`nufft_window_aux`, for static coords)
+    switches the window interpolation to the sorted-adjoint gather: the
+    forward is a flat gather over the oversampled spectrum and the vjp is
+    the chunked sorted segment-sum instead of XLA's scatter-add.
     """
     shape = image.shape
     d = len(shape)
@@ -114,6 +178,29 @@ def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8):
     offs = jnp.arange(width) - width // 2 + 1
     half = width / 2.0
 
+    if window_consts is not None:
+        from .pallas_gather import sorted_bin_gather
+
+        wc = window_consts
+        npts = coords.shape[0]
+        gathered = sorted_bin_gather(
+            g.ravel(), wc["cells"].reshape(-1), wc["perm"], wc["sorted_ids"]
+        )
+        # ES weights recomputed on device from the shipped window bases
+        # (separable outer product; O(npts·W·d) transcendentals).
+        wfull = None
+        for ax in range(d):
+            x = coords[:, ax] * (n_os[ax] / shape[ax])
+            dx = x[:, None] - (wc["i0"][:, ax].astype(x.dtype)[:, None] + offs)
+            wa = _es_phi(dx / half, beta)
+            wfull = wa if wfull is None else (
+                wfull[..., None] * wa[:, *(None,) * (wfull.ndim - 1), :]
+            )
+        out = jnp.sum(
+            gathered.reshape(npts, -1) * wfull.reshape(npts, -1), axis=-1
+        )
+        return out.astype(out_dtype) if out_dtype is not None else out
+
     def interp_point(f):
         idx = []
         wgt = []
@@ -136,7 +223,28 @@ def nufft2(image, coords, *, sigma: float = 2.0, width: int = 8):
             return jnp.sum(sub * w)
         raise NotImplementedError("nufft supports up to 3 dimensions")
 
-    out = jax.vmap(interp_point)(coords)
+    # Large point sets ride a lax.map over fixed-size batches: the
+    # single-shot window scatter (the vjp of one big vmapped gather)
+    # faults the TPU worker above ~1e7 window entries (6.4e7 at 1e6
+    # pts/W=8, docs/perf.md), while per-batch scatters at the 1e5-point
+    # scale are measured good.  The map's transpose is a reverse scan
+    # accumulating the spectrum cotangent batch by batch — same FLOPs,
+    # bounded op sizes.
+    npts = coords.shape[0]
+    batch = _POINT_BATCH
+    if npts * width ** d > _POINT_BATCH_MIN_ENTRIES and npts > batch:
+        k = -(-npts // batch)
+        pad = k * batch - npts
+        cpad = (
+            jnp.concatenate([coords, jnp.zeros((pad, d), coords.dtype)])
+            if pad else coords
+        )
+        out = jax.lax.map(
+            lambda cb: jax.vmap(interp_point)(cb),
+            cpad.reshape(k, batch, d),
+        ).reshape(-1)[:npts]
+    else:
+        out = jax.vmap(interp_point)(coords)
     return out.astype(out_dtype) if out_dtype is not None else out
 
 
@@ -167,8 +275,22 @@ class RadioResponse(Model):
     (parity: ``src/library/nft.py:30`` Gridder / ``:80`` Nufft).
     """
 
+    #: Window-entry threshold the perf probes use to pick legs.  On-chip
+    #: A/B (512²/W=8, docs/perf.md): at 1e5 pts the generic vmapped
+    #: window gather wins (0.61 s vs 0.92 s for the type-2+type-1 pair —
+    #: the uv pre-sort already makes XLA's scatter memory-ordered), and
+    #: above ~1e7 window entries BOTH single-shot routes (generic
+    #: scatter and chunked sorted segment-sum) fault the TPU worker, so
+    #: large point sets instead take the generic route batched by
+    #: ``_POINT_BATCH`` via lax.map.  ``sorted_windows="auto"`` therefore
+    #: resolves to False; the sorted tables remain available as an
+    #: explicit opt-in (exact, tested) for future runtimes without the
+    #: defect.
+    SORTED_WINDOW_MIN_ENTRIES = 1 << 24
+
     def __init__(self, shape, uv, *, pixsize=None, w=None, n_w_planes: int = 8,
-                 sigma: float = 2.0, width: int = 8, dtype=None):
+                 sigma: float = 2.0, width: int = 8, dtype=None,
+                 sorted_windows="auto"):
         self._shape = tuple(shape)
         uv = np.asarray(uv, dtype=float)
         if pixsize is not None:
@@ -225,19 +347,51 @@ class RadioResponse(Model):
             n_term = np.sqrt(np.maximum(1.0 - lm[0] ** 2 - lm[1] ** 2, 0.0)) - 1.0
             self._n_term = n_term  # host constant (see note above)
             self._w = w
+        # Sorted-adjoint window tables (multi-MB at npts ≥ 1e5): one set
+        # per w-plane slice (coplanar: one for the full sorted uv).  They
+        # are `Model.consts` leaves — runtime buffers whenever the model
+        # travels as a jit *argument* (`jcall` / the optimize_kl
+        # lh-as-argument plumbing), never HLO literals.
+        consts = {}
+        slices = (
+            [(0, uv.shape[0])] if w is None
+            else [s for s in self._w_slices]
+        )
+        if sorted_windows == "auto":
+            sorted_windows = False  # see SORTED_WINDOW_MIN_ENTRIES note
+        if sorted_windows:
+            for i, (a, b) in enumerate(slices):
+                if a == b:
+                    continue
+                aux = nufft_window_aux(
+                    self._shape, uv[a:b], sigma=sigma, width=width
+                )
+                for k, v in aux.items():
+                    consts[f"p{i}_{k}"] = jnp.asarray(v)
         super().__init__(
             domain=ShapeWithDtype(self._shape, dtype),
             target=ShapeWithDtype((uv.shape[0],), jnp.complex128 if
                                   jnp.zeros((), float).dtype == jnp.float64
                                   else jnp.complex64),
+            consts=consts or None,
         )
 
+    def _plane_consts(self, consts, i):
+        if consts is None:
+            return None
+        keys = ("cells", "perm", "sorted_ids", "i0")
+        sub = {k: consts.get(f"p{i}_{k}") for k in keys}
+        return sub if all(v is not None for v in sub.values()) else None
+
     def __call__(self, image):
+        consts = self.consts
         if self._w is None:
-            vis = nufft2(image, self._uv, sigma=self._sigma, width=self._width)
+            vis = nufft2(image, self._uv, sigma=self._sigma,
+                         width=self._width,
+                         window_consts=self._plane_consts(consts, 0))
             return vis[self._unsort]
         parts = []
-        for (a, b), wc in zip(self._w_slices, self._w_centers):
+        for i, ((a, b), wc) in enumerate(zip(self._w_slices, self._w_centers)):
             if a == b:
                 continue
             # phase screen for this plane's central w, applied in the
@@ -245,7 +399,8 @@ class RadioResponse(Model):
             screen = jnp.exp(-2j * np.pi * wc * self._n_term)
             parts.append(
                 nufft2(image * screen, self._uv[a:b], sigma=self._sigma,
-                       width=self._width)
+                       width=self._width,
+                       window_consts=self._plane_consts(consts, i))
             )
         vis = jnp.concatenate(parts, axis=0)
         return vis[self._unsort]

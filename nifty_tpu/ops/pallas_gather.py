@@ -1025,6 +1025,38 @@ def _sorted_gather_impl(table, idx, perm, sorted_ids):
     return table[idx]
 
 
+# Chunk size for the sorted-adjoint scatter at grid scale.  Both
+# single-shot formulations (segment_sum and cumsum) deterministically
+# fault the TPU worker inside large fused programs once the occurrence
+# count passes ~4M elements, while the 2048^2 quarter map (1.05M) runs
+# fine — so the large-map route splits the perm-gather + segment-sum
+# into static chunks of this many elements each and adds the partial
+# tables.  Every op then sits at a scale measured to work.
+_SORTED_CHUNK = 1 << 21
+
+
+def _sorted_scatter_chunked(flat, perm, sorted_ids, nb, dtype, chunk):
+    n = perm.shape[0]
+    k = -(-n // chunk)
+    pad = k * chunk - n
+    if pad:
+        perm = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+        sorted_ids = jnp.concatenate(
+            [sorted_ids, jnp.full((pad,), nb, sorted_ids.dtype)]
+        )
+    out = jnp.zeros((nb,), dtype)
+    for i in range(k):
+        ids = sorted_ids[i * chunk:(i + 1) * chunk]
+        v = flat[perm[i * chunk:(i + 1) * chunk]]
+        if pad and i == k - 1:
+            v = jnp.where(ids >= nb, jnp.zeros((), dtype), v)
+            ids = jnp.minimum(ids, nb - 1)
+        out = out + jax.ops.segment_sum(
+            v, ids, num_segments=nb, indices_are_sorted=True
+        )
+    return out
+
+
 def _sorted_scatter_impl(cot, idx, perm, sorted_ids, *, nb):
     del idx
     import os
@@ -1039,6 +1071,11 @@ def _sorted_scatter_impl(cot, idx, perm, sorted_ids, *, nb):
         starts = jnp.searchsorted(sorted_ids, bins)
         ends = jnp.searchsorted(sorted_ids, bins + 1)
         return cs[ends] - cs[starts]
+    chunk = int(os.environ.get("NIFTY_SORTED_CHUNK", _SORTED_CHUNK))
+    if perm.shape[0] > chunk:
+        return _sorted_scatter_chunked(
+            cot.ravel(), perm, sorted_ids, nb, cot.dtype, chunk
+        )
     return jax.ops.segment_sum(
         cot.ravel()[perm], sorted_ids, num_segments=nb,
         indices_are_sorted=True,
@@ -1170,11 +1207,18 @@ def distribute_power(table, idx, sorted_aux=None):
         and not _use_pallas(table.shape[0], dtype=table.dtype)
         # ≥2^22-entry maps (the 4096² quarter grid) deterministically
         # fault the TPU worker inside large fused programs with either
-        # sorted-adjoint formulation (segment_sum and cumsum variants;
-        # measured round 5) while the same ops run standalone — XLA/
-        # runtime bug at that scale.  They fall back to the XLA scatter
-        # route; ≤2048² unbinned keeps the fast sorted adjoint.
-        and idx.size < (1 << 22)
+        # sorted-adjoint formulation (segment_sum and cumsum variants) —
+        # and, measured this round, ALSO with the scatter chunked into
+        # 2^21- or 2^20-element pieces, so the fault is not the op size
+        # but the sorted route inside that program at that scale (an
+        # XLA/runtime defect; the same ops run standalone at full
+        # speed).  Big maps fall back to the XLA scatter route;
+        # ≤2048² unbinned keeps the fast sorted adjoint.
+        # `NIFTY_SORTED_SCATTER=chunked` opts big maps in for probing.
+        and (
+            idx.size < (1 << 22)
+            or _os.environ.get("NIFTY_SORTED_SCATTER") == "chunked"
+        )
         and _os.environ.get("NIFTY_SORTED_SCATTER") != "off"
     ):
         return sorted_bin_gather(

@@ -790,6 +790,7 @@ def optimize_kl(
     plot_energy_history: bool = True,
     export_operator_outputs: Optional[dict] = None,
     odir: Optional[str] = None,
+    fused: Union[bool, str] = "auto",
     _optimize_vi=None, _optimize_vi_state=None,
 ) -> tuple[Samples, OptimizeVIState]:
     """One-stop-shop MGVI/geoVI driver with checkpoint/resume.
@@ -875,7 +876,7 @@ def optimize_kl(
             tr = transitions(i)
             if tr is not None:
                 samples = tr(samples)
-        samples, state = opt_vi.update(samples, state)
+        samples, state = opt_vi.update(samples, state, fused=fused)
         msg = opt_vi.get_status_message(samples, state, name=nm)
         logger.info(msg)
         energy_history.append((state.nit, float(state.minimization_state.fun)))
